@@ -1,0 +1,169 @@
+"""Parenthesis-repair kernels (vision-path cell cleaning).
+
+Behavioral contract (reference semantics, re-implemented):
+
+- per-cell repairs  -> reference ``_fix_cell_parens``
+  (data_cleaning.py:7-48)
+- whole-frame per-cell pass -> ``clean_malformed_parentheses``
+  (data_cleaning.py:51-69)
+- row-wise cascading-typewriter fixpoint -> ``clean_dataframe_parentheses``
+  (data_cleaning.py:72-173), including the documented cascade
+  ["10,947 (", "3,094)(", "578)(", "173"] -> ["10,947", "(3,094)", "(578)", "(173"]
+  (data_cleaning.py:79-81) and the trailing "% (" strip
+  (data_cleaning.py:165-171).
+
+Applied on the vision extraction paths only, in the order: cascade
+fixpoint first, then per-cell repairs (table_extraction.py:172,179 and
+:365,373). The text path never cleans.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+_OPEN_SPACE = re.compile(r"\(\s+")
+_SPACE_CLOSE = re.compile(r"\s+\)")
+_OPEN_RUN = re.compile(r"\(+")
+_NUMERIC_TAIL = re.compile(r"[\d,.-]+$")
+_NUMERIC_CLOSED = re.compile(r"^[\d,.-]+\)$")
+_NUM_CLOSE_OPEN = re.compile(r"^([\d,.-]+)\)\($")
+_PCT_TRAILING_OPEN = re.compile(r"(%)\s*\($")
+
+
+def repair_cell(value):
+    """Repair malformed parentheses inside one cell.
+
+    Non-strings pass through untouched. Mirrors data_cleaning.py:7-48:
+    drop spaces after '(' / before ')', collapse runs of '(', close an
+    unclosed numeric '(x', and open an orphaned numeric 'x)'.
+    """
+    if not isinstance(value, str):
+        return value
+    v = value.strip()
+    v = _OPEN_SPACE.sub("(", v)
+    v = _SPACE_CLOSE.sub(")", v)
+    v = _OPEN_RUN.sub("(", v)
+    if v.startswith("(") and not v.endswith(")") and _NUMERIC_TAIL.search(v):
+        v += ")"
+    if v.endswith(")") and not v.startswith("(") and _NUMERIC_CLOSED.match(v):
+        v = "(" + v
+    return v
+
+
+def repair_frame_cells(df: pd.DataFrame) -> pd.DataFrame:
+    """Apply :func:`repair_cell` to every non-null cell of the frame.
+
+    Vectorized over columns (``Series.map``) — equivalent to the
+    reference's per-cell ``df[col].apply`` (data_cleaning.py:66-67) but
+    batch-friendly.
+    """
+    for col in df.columns:
+        s = df[col]
+        df[col] = s.map(lambda x: repair_cell(x) if pd.notna(x) else x)
+    return df
+
+
+def _cascade_pass(cells: list) -> bool:
+    """One left-to-right sweep of the cascade rules over a row's cells.
+
+    Returns True if anything changed. Mirrors the pair-wise scan of
+    data_cleaning.py:102-163: for each adjacent (curr, next) pair the
+    values are captured once, then two rules run against those captured
+    values (the reference reads ``curr_val``/``next_val`` before either
+    rule fires, so rule 2 sees the *pre-rule-1* snapshot).
+    """
+    changed = False
+    n = len(cells)
+    for i in range(n - 1):
+        curr_val = cells[i]
+        next_val = cells[i + 1]
+
+        # Rule 1: current cell ends with '(' — that paren belongs to the
+        # next cell (data_cleaning.py:109-146).
+        if pd.notna(curr_val):
+            curr_str = str(curr_val).strip()
+            if curr_str.endswith("("):
+                donor = curr_str[:-1].strip()
+                if pd.notna(next_val):
+                    next_str = str(next_val).strip()
+                    m = _NUM_CLOSE_OPEN.match(next_str)
+                    if m:
+                        # next looks like "123)(" → wrap the number, keep
+                        # a trailing '(' to cascade further right.
+                        cells[i] = donor if donor else None
+                        cells[i + 1] = f"({m.group(1)})("
+                    elif next_str.endswith(")") and not next_str.startswith("("):
+                        cells[i] = donor if donor else None
+                        cells[i + 1] = f"({next_str}"
+                    else:
+                        cells[i] = donor if donor else None
+                        cells[i + 1] = "(" + next_str
+                else:
+                    cells[i] = donor if donor else None
+                    cells[i + 1] = "("
+                changed = True
+
+        # Rule 2: next cell is "123)(" with no incoming '(' — the ')'
+        # closes the *previous* cell (data_cleaning.py:148-163). Uses the
+        # captured snapshot, so it is skipped whenever rule 1 just fired
+        # (the stale curr still ends with '(').
+        if pd.notna(next_val):
+            next_str = str(next_val).strip()
+            m = _NUM_CLOSE_OPEN.match(next_str)
+            if m:
+                curr_str = str(curr_val).strip() if pd.notna(curr_val) else ""
+                if not curr_str.endswith("("):
+                    cells[i] = (curr_str + ")") if curr_str else ")"
+                    cells[i + 1] = f"({m.group(1)})("
+                    changed = True
+    return changed
+
+
+#: Safety bound on fixpoint sweeps (the reference loops unbounded,
+#: data_cleaning.py:98-99; real inputs converge in a handful of passes —
+#: the cap only guards a distributed job against pathological cells).
+MAX_CASCADE_PASSES = 1000
+
+
+def cascade_row(cells: list) -> list:
+    """Run the cascade fixpoint over one row's cell list (in place)."""
+    for _ in range(MAX_CASCADE_PASSES):
+        if not _cascade_pass(cells):
+            break
+    return cells
+
+
+def _strip_pct_artifact(x):
+    if pd.notna(x) and isinstance(x, str):
+        return _PCT_TRAILING_OPEN.sub(r"\1", x.strip())
+    return x
+
+
+def cascade_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Row-wise cascading-parenthesis fixpoint over the whole frame.
+
+    The scan is inherently sequential within a row (a repaired cell can
+    re-trigger its right neighbour), so rows are materialized as lists,
+    fixed, and written back — batch-at-a-time, as the north rule's
+    "vectorized at Arrow-batch granularity" allows. Finishes with the
+    "%(" artifact strip (data_cleaning.py:165-171).
+    """
+    cols = list(df.columns)
+    if len(cols) >= 2:
+        rows = df[cols].to_numpy(dtype=object).tolist()
+        out = [cascade_row(r) for r in rows]
+        for j, col in enumerate(cols):
+            df[col] = [r[j] for r in out]
+    for col in cols:
+        df[col] = df[col].map(_strip_pct_artifact)
+    return df
+
+
+def clean_vision_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Full vision-path cleaning: cascade fixpoint, then per-cell repair
+    (order fixed by table_extraction.py:172-179)."""
+    df = cascade_frame(df)
+    df = repair_frame_cells(df)
+    return df

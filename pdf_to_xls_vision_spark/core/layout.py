@@ -1,0 +1,140 @@
+"""Text-path layout parsing: word boxes -> table grid (T1-T3).
+
+The reference extracts tables from text PDFs with pdfplumber's
+text-based strategy (table_extraction.py:402-474; settings at :424-432:
+``vertical_strategy="text", horizontal_strategy="text",
+snap_tolerance=3, join_tolerance=3, edge_min_length=3,
+min_words_vertical=3, min_words_horizontal=1``). pdfplumber is not
+available in this environment, so the algorithm is rebuilt from those
+documented settings over span-encoded word boxes (FIXTURES.md §2):
+
+1. **Row banding** — words sorted by (top, x0, text); a new row band
+   starts when a word's ``top`` is more than ``SNAP_TOLERANCE`` below
+   the band's anchor (the band's first ``top``).
+2. **Column detection** — word left edges (``x0``) greedily clustered
+   with the same tolerance; a cluster is a real column seam only if at
+   least ``MIN_WORDS_VERTICAL`` (3) words align on it. This is what
+   excludes free-flowing prose from the grid.
+3. **Cell assembly** — each word joins the column whose anchor is
+   within tolerance of its ``x0``; unaligned words are dropped; words
+   sharing a (row, column) cell are joined left-to-right with spaces
+   (``join_tolerance`` analogue). Rows with no aligned word are
+   dropped.
+4. **Header promotion + null pruning** — first grid row becomes the
+   header, then all-null rows and all-null columns are pruned
+   (table_extraction.py:438-439).
+
+Everything is integer/lexicographic-deterministic: stable sorts with
+explicit tie-breaks, greedy anchor clustering — no float accumulation,
+so the distributed run and the sequential oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+SNAP_TOLERANCE = 3.0
+MIN_WORDS_VERTICAL = 3
+MIN_TABLE_ROWS = 2  # header + at least one data row
+
+
+def band_rows(words: list[dict]) -> list[list[dict]]:
+    """Group word boxes into row bands by ``top`` with snap tolerance."""
+    ordered = sorted(words, key=lambda w: (w["top"], w["x0"], w["t"]))
+    bands: list[list[dict]] = []
+    anchor = None
+    for w in ordered:
+        if anchor is None or w["top"] - anchor > SNAP_TOLERANCE:
+            bands.append([w])
+            anchor = w["top"]
+        else:
+            bands[-1].append(w)
+    return bands
+
+
+def detect_columns(words: list[dict]) -> list[float]:
+    """Cluster word left edges into column anchors; keep clusters with
+    >= MIN_WORDS_VERTICAL aligned words (the text-strategy seam rule)."""
+    xs = sorted(w["x0"] for w in words)
+    anchors: list[float] = []
+    counts: list[int] = []
+    cur_anchor = None
+    for x in xs:
+        if cur_anchor is None or x - cur_anchor > SNAP_TOLERANCE:
+            anchors.append(x)
+            counts.append(1)
+            cur_anchor = x
+        else:
+            counts[-1] += 1
+    return [a for a, c in zip(anchors, counts) if c >= MIN_WORDS_VERTICAL]
+
+
+def _column_of(x0: float, anchors: list[float]) -> int | None:
+    for j, a in enumerate(anchors):
+        if abs(x0 - a) <= SNAP_TOLERANCE:
+            return j
+    return None
+
+
+def parse_page_words(words: list[dict]) -> list[list[list[str | None]]]:
+    """Parse one page's word boxes into raw tables.
+
+    Returns a list of tables, each ``list[list[str|None]]`` with the
+    first row being the header (pdfplumber ``extract_tables`` shape,
+    consumed at table_extraction.py:435-438). At most one table per
+    page is emitted — the synthetic corpus lays out one grid per page,
+    matching the reference prompt's "extract the largest/main table".
+    """
+    if not words:
+        return []
+    anchors = detect_columns(words)
+    if not anchors:
+        return []
+    rows: list[list[str | None]] = []
+    for band in band_rows(words):
+        cells: list[list[str]] = [[] for _ in anchors]
+        any_aligned = False
+        for w in band:  # band is already (top, x0, text)-sorted
+            j = _column_of(w["x0"], anchors)
+            if j is not None:
+                cells[j].append(w["t"])
+                any_aligned = True
+        if any_aligned:
+            rows.append([" ".join(c) if c else None for c in cells])
+    if len(rows) < MIN_TABLE_ROWS:
+        return []
+    return [rows]
+
+
+def grid_to_frame(table: list[list[str | None]]) -> pd.DataFrame | None:
+    """Header promotion + all-null row/column pruning
+    (table_extraction.py:438-439). Returns None for empty results."""
+    if not table:
+        return None
+    df = pd.DataFrame(table[1:], columns=table[0])
+    df = df.dropna(how="all").dropna(axis=1, how="all")
+    if df.empty:
+        return None
+    return df
+
+
+def parse_text_page_payload(payload: str) -> list[pd.DataFrame]:
+    """Decode a text-span JSON payload (FIXTURES.md §2) and parse it.
+
+    Payload shape: ``{"page": int, "words": [{"t","x0","x1","top","bottom"}]}``.
+    Malformed payloads yield no tables (per-page fault isolation,
+    converter.py:233-255).
+    """
+    try:
+        doc = json.loads(payload)
+        words = doc.get("words", [])
+    except Exception:
+        return []
+    frames = []
+    for table in parse_page_words(words):
+        df = grid_to_frame(table)
+        if df is not None:
+            frames.append(df)
+    return frames

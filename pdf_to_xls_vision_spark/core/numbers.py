@@ -1,0 +1,62 @@
+"""Number-multiset extraction & normalization (X1-X3 kernels).
+
+Reference contract: ``extract_numbers_from_text`` (validation.py:10-34)
+with the exact pattern at validation.py:21, and the dataframe walk of
+``extract_numbers_from_dataframe`` (validation.py:63-86) which skips the
+``Row_Type``/``Category``/``Notes`` columns.
+
+The distributed counterparts (X4-X6) are plain DataFrame aggregates in
+:mod:`pdf_to_xls_vision_spark.operators.validation`; these kernels also
+serve the SQL-expressible driver-contract queries where the same regex
+runs JVM-side via ``regexp_extract_all``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+#: validation.py:21 — numbers with optional $, parens, thousands commas,
+#: decimals, and %.
+NUMBER_PATTERN = r"\$?\(?\d{1,3}(?:,\d{3})*(?:\.\d+)?\)?%?"
+_NUMBER_RE = re.compile(NUMBER_PATTERN)
+
+#: Columns excluded from table-side number extraction (validation.py:75-76).
+NON_NUMERIC_COLUMNS = ("Row_Type", "Category", "Notes")
+
+
+def normalize_number_token(token: str) -> str:
+    """Strip ``$ , %`` and map ``(x)`` -> ``-x`` (validation.py:26-32)."""
+    cleaned = token.replace("$", "").replace(",", "").replace("%", "")
+    if cleaned.startswith("(") and cleaned.endswith(")"):
+        cleaned = "-" + cleaned[1:-1]
+    return cleaned
+
+
+def extract_numbers(text: str) -> list[str]:
+    """All normalized number tokens in ``text``, in match order."""
+    return [normalize_number_token(t) for t in _NUMBER_RE.findall(text)]
+
+
+def extract_numbers_from_frame(df: pd.DataFrame) -> list[str]:
+    """Number tokens from every non-null cell outside the label columns,
+    column-major in the reference's walk order (validation.py:74-86)."""
+    out: list[str] = []
+    for col in df.columns:
+        if col in NON_NUMERIC_COLUMNS:
+            continue
+        for val in df[col]:
+            if pd.notna(val):
+                out.extend(extract_numbers(str(val)))
+    return out
+
+
+def number_key(token: str) -> str:
+    """Canonical multiset key: the float value when the token parses,
+    else the raw token (validation.py:164-180 folds both into one
+    Counter; floats and their string forms must collide)."""
+    try:
+        return repr(float(token))
+    except ValueError:
+        return token

@@ -1,0 +1,148 @@
+"""Page-level extraction stages (T1-T4, V1-V7, C1-C3, Q1-Q6).
+
+Both stages are iterator-of-pandas ``mapInPandas`` UDFs over *pages*,
+not documents. That choice is the engine's skew answer: a 1000-page
+document is 1000 independent rows of work spread round-robin across the
+cluster (the reference burns 15-25 minutes on such a file sequentially,
+README.md:327), and no ``groupBy`` happens until after extraction when
+per-page results are small.
+
+Output is a uniform "extraction row" relation::
+
+    doc_id, page, table_id, media_ref,
+    header: array<string>, rows: array<array<string>>,
+    quality: array<string>, rotation_corrected: int, is_table: boolean
+
+with one sentinel row per page (``is_table=false``) so page-level
+metrics (pages_parsed, rotation_corrections) survive pages that yield
+no table, plus one row per extracted table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pdf_to_xls_vision_spark.core.cleaning import clean_vision_frame
+from pdf_to_xls_vision_spark.core.layout import parse_text_page_payload
+from pdf_to_xls_vision_spark.core.quality import table_quality_issues
+from pdf_to_xls_vision_spark.core.vision import (
+    VisionBackend,
+    correct_rotation,
+    parse_vision_csv,
+    stub_pixels,
+)
+
+EXTRACTION_SCHEMA = (
+    "doc_id string, page int, table_id int, media_ref string, "
+    "header array<string>, rows array<array<string>>, "
+    "quality array<string>, rotation_corrected int, is_table boolean"
+)
+
+_COLS = [
+    "doc_id", "page", "table_id", "media_ref",
+    "header", "rows", "quality", "rotation_corrected", "is_table",
+]
+
+
+def _stringify(v) -> str | None:
+    """Null-preserving cell textualization: None stays None (so NaN
+    semantics — notna checks in merge/notes — survive the Arrow hop),
+    everything else becomes ``str(v)``."""
+    if v is None or (isinstance(v, float) and v != v):
+        return None
+    if pd.isna(v):
+        return None
+    return str(v)
+
+
+def _frame_payload(df: pd.DataFrame) -> tuple[list, list]:
+    header = [_stringify(c) for c in df.columns]
+    rows = [[_stringify(v) for v in row] for row in df.itertuples(index=False, name=None)]
+    return header, rows
+
+
+def _sentinel(doc_id: str, page: int, rot: int) -> list:
+    return [doc_id, page, 0, "", [], [], [], rot, False]
+
+
+def _table_row(
+    doc_id: str, page: int, table_id: int, media_ref: str,
+    df: pd.DataFrame, quality: list[str],
+) -> list:
+    header, rows = _frame_payload(df)
+    return [doc_id, page, table_id, media_ref, header, rows, quality, 0, True]
+
+
+def extract_text_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Text-path layout parse per page (table_extraction.py:402-474).
+
+    Quality heuristics run per table here (T4); the document-level
+    retry decision is a later aggregate. Non-text spans inside a
+    text-routed document yield no tables — a scanned page gives
+    pdfplumber nothing, matching reference behavior.
+    """
+    for batch in batches:
+        out = []
+        for doc_id, page, kind, text in zip(
+            batch["doc_id"], batch["page"], batch["kind"], batch["text"]
+        ):
+            page = int(page)
+            out.append(_sentinel(doc_id, page, 0))
+            if kind != "text":
+                continue
+            for t_idx, df in enumerate(parse_text_page_payload(text), start=1):
+                issues = table_quality_issues(df)
+                out.append(_table_row(doc_id, page, t_idx, "", df, issues))
+        yield pd.DataFrame(out, columns=_COLS)
+
+
+def make_vision_extractor(backend: VisionBackend | None = None):
+    """Build the vision-stage ``mapInPandas`` function.
+
+    One ``infer_batch`` call per Arrow batch — the batched-inference
+    shape the north star requires (the reference makes one HTTPS call
+    per page, table_extraction.py:46; a production backend would fan
+    the batch out to an endpoint). Rotation detection + gated
+    correction (image_processing.py:140-148,205-215) precedes
+    inference; response parsing and cleaning follow
+    table_extraction.py:136-182 exactly.
+    """
+    backend = backend or VisionBackend()
+
+    def extract_vision_pages(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            doc_ids = list(batch["doc_id"])
+            pages = [int(p) for p in batch["page"]]
+            refs = [
+                mr if mr else f"img://{d}/{p}"
+                for d, p, mr in zip(doc_ids, pages, batch["media_ref"])
+            ]
+            rotations = []
+            for ref in refs:
+                pixels, _expected = stub_pixels(ref)
+                _img, applied = correct_rotation(pixels)
+                rotations.append(1 if applied != 0 else 0)
+            responses = backend.infer_batch(refs)
+
+            out = []
+            for doc_id, page, ref, rot, csv in zip(
+                doc_ids, pages, refs, rotations, responses
+            ):
+                out.append(_sentinel(doc_id, page, rot))
+                df = parse_vision_csv(csv)
+                if df is None:
+                    continue
+                df = df.dropna(how="all").dropna(axis=1, how="all")
+                if df.empty:
+                    continue
+                df = clean_vision_frame(df)
+                if df.empty or len(df) == 0:
+                    continue
+                out.append(_table_row(doc_id, page, 1, ref, df, []))
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return extract_vision_pages

@@ -1,0 +1,174 @@
+"""End-to-end extraction plan assembly (EP2/EP3 as one DataFrame DAG).
+
+Shape (SURVEY.md §4.3)::
+
+    scan(docs)
+      -> route = classifier exprs (no UDF)
+      -> posexplode(spans) -> pages                 (pages are the work unit)
+      -> repartition(pages)                         (skew leveler: round-robin)
+      -> [route=text]   mapInPandas(layout parse)   T1-T4, Q1-Q6
+      -> doc-level quality aggregate -> retry ids   R2 (converter.py:117-132)
+      -> [route=vision | retried] mapInPandas(vision stage)  V1-V7, C1-C3
+      -> unionByName
+      -> groupBy(doc_id).applyInPandas(merge + serialize)    M1 + A1/A3 + W1
+
+The merge and span serialization run inside the same per-document group
+the final shuffle already created, so M1 costs no extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+import pandas as pd
+
+from pdf_to_xls_vision_spark.core.merge import TableRecord, merge_continuations
+from pdf_to_xls_vision_spark.core.spans import (
+    count_rollup_rows,
+    general_notes,
+    serialize_spans,
+)
+from pdf_to_xls_vision_spark.operators.classify import route_expr
+from pdf_to_xls_vision_spark.operators.extract import (
+    EXTRACTION_SCHEMA,
+    extract_text_pages,
+    make_vision_extractor,
+)
+from pdf_to_xls_vision_spark.core.vision import VisionBackend
+
+RESULT_SCHEMA = (
+    "doc_id string, "
+    "spans array<struct<kind string, text string, media_ref string, order int>>, "
+    "n_tables int, pages_parsed long, rotation_corrections long, "
+    "quality_retried int, rollup_rows long, n_notes long"
+)
+
+
+def _merge_and_serialize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-document reduce: rebuild table records, M1-merge, serialize
+    the ordered span sequence, and compute per-doc metrics."""
+    doc_id = pdf["doc_id"].iloc[0]
+    quality_retried = int(pdf["quality_retried"].max())
+    sentinels = pdf[~pdf["is_table"]]
+    pages_parsed = int(len(sentinels))
+    rotation_corrections = int(sentinels["rotation_corrected"].sum())
+
+    tables = pdf[pdf["is_table"]].sort_values(["page", "table_id"])
+    records = []
+    for row in tables.itertuples(index=False):
+        frame = pd.DataFrame(
+            [list(r) for r in row.rows], columns=[c for c in row.header]
+        )
+        records.append(
+            TableRecord(
+                frame=frame,
+                page=int(row.page),
+                table_id=int(row.table_id),
+                media_ref=row.media_ref,
+            )
+        )
+    merged = merge_continuations(records)
+    spans = serialize_spans(merged)
+    rollups = sum(count_rollup_rows(r.frame) for r in merged)
+    notes = sum(len(general_notes(r.frame)) for r in merged)
+    return pd.DataFrame(
+        [
+            {
+                "doc_id": doc_id,
+                "spans": spans,
+                "n_tables": len(merged),
+                "pages_parsed": pages_parsed,
+                "rotation_corrections": rotation_corrections,
+                "quality_retried": quality_retried,
+                "rollup_rows": int(rollups),
+                "n_notes": int(notes),
+            }
+        ]
+    )
+
+
+def explode_pages(docs: DataFrame, force_vision: bool = False) -> DataFrame:
+    """Classify docs (column exprs only) and explode to the page relation."""
+    return (
+        docs.withColumn("route", route_expr(force_vision))
+        .select(
+            "doc_id",
+            "route",
+            F.explode("spans").alias("span"),
+        )
+        .select(
+            "doc_id",
+            "route",
+            (F.col("span.offset") + 1).alias("page"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def run_extraction(
+    docs: DataFrame,
+    force_vision: bool = False,
+    backend: VisionBackend | None = None,
+    page_partitions: int | None = None,
+    persist_pages: bool = True,
+) -> DataFrame:
+    """The full extraction pipeline; returns the result relation
+    ``(doc_id, spans, …metrics)``.
+
+    ``page_partitions`` sizes the round-robin repartition of the page
+    relation — the explicit skew handler (a 1000-page doc spreads over
+    the cluster instead of pinning one task; AQE cannot see inside UDF
+    compute, SURVEY.md §4.2). Defaults to 2x default parallelism.
+
+    ``persist_pages``: the retry pass (R2) re-reads the text pages of
+    low-quality docs; locally we persist the page relation
+    (MEMORY_AND_DISK). At the 100 TB design point prefer
+    ``persist_pages=False`` — recomputing from the columnar scan is
+    cheaper than caching the corpus.
+    """
+    spark = docs.sparkSession
+    n_parts = page_partitions or spark.sparkContext.defaultParallelism * 2
+    vision_extractor = make_vision_extractor(backend)
+
+    pages = explode_pages(docs, force_vision).repartition(n_parts)
+    if persist_pages:
+        pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+
+    text_pages = pages.filter(F.col("route") == "text")
+    vision_pages = pages.filter(F.col("route") == "vision")
+
+    text_ext = text_pages.mapInPandas(extract_text_pages, EXTRACTION_SCHEMA)
+
+    # R2 — document-level retry: any quality issue on any table, or zero
+    # tables for the whole document (converter.py:117-132). Sentinel rows
+    # guarantee every text-routed doc appears in the aggregate.
+    doc_stats = text_ext.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("is_table") & (F.size("quality") > 0), 1).otherwise(0)
+        ).alias("has_quality_issue"),
+        F.sum(F.when(F.col("is_table"), 1).otherwise(0)).alias("n_raw_tables"),
+    )
+    retry_ids = doc_stats.filter(
+        (F.col("has_quality_issue") == 1) | (F.col("n_raw_tables") == 0)
+    ).select("doc_id")
+
+    text_kept = text_ext.join(retry_ids, "doc_id", "left_anti").withColumn(
+        "quality_retried", F.lit(0)
+    )
+    retry_pages = text_pages.join(retry_ids, "doc_id", "left_semi")
+    retry_ext = retry_pages.mapInPandas(
+        vision_extractor, EXTRACTION_SCHEMA
+    ).withColumn("quality_retried", F.lit(1))
+    vision_ext = vision_pages.mapInPandas(
+        vision_extractor, EXTRACTION_SCHEMA
+    ).withColumn("quality_retried", F.lit(0))
+
+    all_ext = text_kept.unionByName(vision_ext).unionByName(retry_ext)
+
+    return all_ext.groupBy("doc_id").applyInPandas(
+        _merge_and_serialize, RESULT_SCHEMA
+    )
