@@ -161,9 +161,29 @@ def cascade_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def is_cleanable(df: pd.DataFrame) -> bool:
+    """Frames the cleaners may touch: unique single-level axes.
+
+    The reference cleans via ``df.at`` scalar access, which pandas
+    rejects on duplicated or multi-level axes; those failures are
+    swallowed and the frame kept dirty (table_extraction.py:171-182).
+    This predicate makes that skip condition explicit and identical in
+    the engine and the test oracle.
+    """
+    return (
+        df.index.is_unique
+        and df.columns.is_unique
+        and df.index.nlevels == 1
+        and df.columns.nlevels == 1
+    )
+
+
 def clean_vision_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Full vision-path cleaning: cascade fixpoint, then per-cell repair
-    (order fixed by table_extraction.py:172-179)."""
+    (order fixed by table_extraction.py:172-179). Uncleanable frames
+    pass through dirty, mirroring the reference's exception swallow."""
+    if not is_cleanable(df):
+        return df
     df = cascade_frame(df)
     df = repair_frame_cells(df)
     return df

@@ -139,8 +139,12 @@ def stub_csv(media_ref: str) -> str | None:
         lines.append(",".join(fields))
 
     if rng.random() < 0.08 and n_rows > 2:
-        # malformed line with a stray extra field -> read_csv ladder level 2
-        k = int(rng.integers(1, n_rows))
+        # malformed line with stray extra fields -> read_csv ladder level 2.
+        # Never the first data row: extra fields there trigger pandas
+        # index inference instead of a parse error, producing a
+        # MultiIndex frame the reference's cleaners choke on (and skip
+        # via their try/except, table_extraction.py:171-182).
+        k = int(rng.integers(2, n_rows))
         lines[k] = lines[k] + ",999,999"
 
     body = "\n".join(lines)

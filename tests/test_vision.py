@@ -1,0 +1,119 @@
+"""Vision-stage kernels: stub determinism, CSV fallback ladder,
+rotation detection + gate, resize plan."""
+
+import numpy as np
+import pandas as pd
+
+from pdf_to_xls_vision_spark.core.vision import (
+    MAX_IMAGE_B64_BYTES,
+    correct_rotation,
+    detect_rotation,
+    parse_vision_csv,
+    resize_plan,
+    rotate_cw,
+    stub_csv,
+    stub_pixels,
+)
+
+
+def test_stub_deterministic():
+    assert stub_csv("img://a/1") == stub_csv("img://a/1")
+    assert stub_csv("img://a/1") != stub_csv("img://a/2")
+    p1, r1 = stub_pixels("img://a/1")
+    p2, r2 = stub_pixels("img://a/1")
+    assert r1 == r2 and np.array_equal(p1, p2)
+
+
+def test_parse_plain_csv():
+    df = parse_vision_csv("Row_Type,Category,2024\nDETAIL,Rent,\"1,234\"")
+    assert list(df.columns) == ["Row_Type", "Category", "2024"]
+    assert df.iloc[0]["2024"] == "1,234"
+
+
+def test_parse_strips_markdown_fence():
+    df = parse_vision_csv("```csv\nRow_Type,Category\nDETAIL,Rent\n```")
+    assert df is not None and len(df) == 1
+
+
+def test_parse_bad_lines_skipped():
+    csv = "a,b\n1,2\n3,4,5,6,7\n8,9"
+    df = parse_vision_csv(csv)
+    assert df is not None and len(df) == 2  # malformed row dropped
+
+
+def test_parse_empty_returns_none():
+    assert parse_vision_csv(None) is None
+    assert parse_vision_csv("") is None
+    assert parse_vision_csv("   ") is None
+
+
+def test_rotation_detect_exact_over_sample():
+    """Detected correction equals the ground-truth correction for every
+    non-ambiguous stubbed raster."""
+    for i in range(200):
+        img, expected = stub_pixels(f"img://rot/{i}")
+        ambiguous = int(img.min()) == int(img.max())
+        corrected, applied = correct_rotation(img)
+        if ambiguous:
+            assert applied == 0
+        else:
+            assert applied == expected
+            if expected:
+                # corrected raster should now detect as upright
+                assert detect_rotation(corrected)[0] == 0
+
+
+def test_rotation_gate_blocks_low_confidence():
+    flat = np.full((32, 32), 40, dtype=np.uint8)
+    angle, conf = detect_rotation(flat)
+    assert conf <= 1.0
+    _, applied = correct_rotation(flat)
+    assert applied == 0
+
+
+def test_rotate_cw_roundtrip():
+    img, _ = stub_pixels("img://roundtrip/1")
+    for d in (0, 90, 180, 270):
+        back = rotate_cw(rotate_cw(img, d), (360 - d) % 360)
+        assert np.array_equal(back, img)
+
+
+def test_resize_plan_under_limit_noop():
+    assert resize_plan(1000, 800, MAX_IMAGE_B64_BYTES - 1) == []
+
+
+def test_resize_plan_ladder():
+    # 4x over the limit -> first scale = 0.9/sqrt(4) = 0.45
+    steps = resize_plan(4000, 3000, 4 * MAX_IMAGE_B64_BYTES)
+    assert steps[0] == (int(4000 * 0.45), int(3000 * 0.45))
+    assert len(steps) <= 10
+    # proportional model: final step is under the cap
+    w, h = steps[-1]
+    assert 4 * MAX_IMAGE_B64_BYTES * (w * h) / (4000 * 3000) <= MAX_IMAGE_B64_BYTES
+
+
+def test_resize_plan_floor():
+    steps = resize_plan(120, 120, 100 * MAX_IMAGE_B64_BYTES)
+    assert all(w >= 100 and h >= 100 for w, h in steps)
+    assert len(steps) == 10  # can't get under -> exhausts attempts
+
+
+def test_stub_vision_frame_cleanable():
+    """Cascade-bearing stub responses round-trip the cleaners without
+    error and leave no ')(' artifacts behind."""
+    from pdf_to_xls_vision_spark.core.cleaning import clean_vision_frame
+
+    found = 0
+    for i in range(300):
+        c = stub_csv(f"img://clean/{i}")
+        if not c or ")(" not in c:
+            continue
+        found += 1
+        df = parse_vision_csv(c)
+        df = df.dropna(how="all").dropna(axis=1, how="all")
+        out = clean_vision_frame(df)
+        for col in out.columns:
+            for v in out[col]:
+                if pd.notna(v) and isinstance(v, str):
+                    assert ")(" not in v, (i, col, v)
+    assert found > 0
