@@ -24,8 +24,11 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+import json
+
 from pdf_to_xls_vision_spark.core.cleaning import clean_vision_frame
 from pdf_to_xls_vision_spark.core.layout import parse_text_page_payload
+from pdf_to_xls_vision_spark.core.numbers import extract_numbers
 from pdf_to_xls_vision_spark.core.quality import table_quality_issues
 from pdf_to_xls_vision_spark.core.vision import (
     VisionBackend,
@@ -37,12 +40,14 @@ from pdf_to_xls_vision_spark.core.vision import (
 EXTRACTION_SCHEMA = (
     "doc_id string, page int, table_id int, media_ref string, "
     "header array<string>, rows array<array<string>>, "
-    "quality array<string>, rotation_corrected int, is_table boolean"
+    "quality array<string>, rotation_corrected int, is_table boolean, "
+    "page_numbers array<string>"
 )
 
 _COLS = [
     "doc_id", "page", "table_id", "media_ref",
     "header", "rows", "quality", "rotation_corrected", "is_table",
+    "page_numbers",
 ]
 
 
@@ -63,8 +68,21 @@ def _frame_payload(df: pd.DataFrame) -> tuple[list, list]:
     return header, rows
 
 
-def _sentinel(doc_id: str, page: int, rot: int) -> list:
-    return [doc_id, page, 0, "", [], [], [], rot, False]
+def _page_text(kind: str, text: str) -> str:
+    """Source text of a page for validation (X2): the word tokens in
+    payload order — the analog of pdfplumber ``page.extract_text()``
+    (validation.py:50-54). Image pages have no text layer."""
+    if kind != "text" or not text:
+        return ""
+    try:
+        words = json.loads(text).get("words", [])
+    except Exception:
+        return ""
+    return " ".join(w.get("t", "") for w in words)
+
+
+def _sentinel(doc_id: str, page: int, rot: int, page_numbers: list[str]) -> list:
+    return [doc_id, page, 0, "", [], [], [], rot, False, page_numbers]
 
 
 def _table_row(
@@ -72,7 +90,7 @@ def _table_row(
     df: pd.DataFrame, quality: list[str],
 ) -> list:
     header, rows = _frame_payload(df)
-    return [doc_id, page, table_id, media_ref, header, rows, quality, 0, True]
+    return [doc_id, page, table_id, media_ref, header, rows, quality, 0, True, []]
 
 
 def extract_text_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,7 +107,7 @@ def extract_text_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             batch["doc_id"], batch["page"], batch["kind"], batch["text"]
         ):
             page = int(page)
-            out.append(_sentinel(doc_id, page, 0))
+            out.append(_sentinel(doc_id, page, 0, extract_numbers(_page_text(kind, text))))
             if kind != "text":
                 continue
             for t_idx, df in enumerate(parse_text_page_payload(text), start=1):
@@ -127,12 +145,15 @@ def make_vision_extractor(backend: VisionBackend | None = None):
                 _img, applied = correct_rotation(pixels)
                 rotations.append(1 if applied != 0 else 0)
             responses = backend.infer_batch(refs)
+            page_texts = [
+                _page_text(k, t) for k, t in zip(batch["kind"], batch["text"])
+            ]
 
             out = []
-            for doc_id, page, ref, rot, csv in zip(
-                doc_ids, pages, refs, rotations, responses
+            for doc_id, page, ref, rot, csv, ptext in zip(
+                doc_ids, pages, refs, rotations, responses, page_texts
             ):
-                out.append(_sentinel(doc_id, page, rot))
+                out.append(_sentinel(doc_id, page, rot, extract_numbers(ptext)))
                 df = parse_vision_csv(csv)
                 if df is None:
                     continue

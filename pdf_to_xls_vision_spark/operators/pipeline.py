@@ -42,8 +42,58 @@ RESULT_SCHEMA = (
     "doc_id string, "
     "spans array<struct<kind string, text string, media_ref string, order int>>, "
     "n_tables int, pages_parsed long, rotation_corrections long, "
-    "quality_retried int, rollup_rows long, n_notes long"
+    "quality_retried int, rollup_rows long, n_notes long, "
+    "validation_status string, pdf_numbers long, table_numbers long, "
+    "matched_numbers long, accuracy_pct double, n_missing int, n_extra int"
 )
+
+
+def _doc_validation(page_number_lists, frames) -> dict:
+    """X4-X6 per document (validation.py:151-229): fold both number
+    multisets on the float-or-raw key, compare counts over the key
+    union, count matches = sum(min), accuracy = matches/pdf_total*100.
+
+    Documents with no text layer report status 'skipped'
+    (validation.py:108-149 — scanned PDFs cannot be validated).
+    """
+    from collections import Counter
+
+    from pdf_to_xls_vision_spark.core.numbers import (
+        extract_numbers_from_frame,
+        number_key,
+    )
+
+    pdf_tokens = [t for lst in page_number_lists for t in lst]
+    if not pdf_tokens:
+        return {
+            "validation_status": "skipped",
+            "pdf_numbers": 0,
+            "table_numbers": 0,
+            "matched_numbers": 0,
+            "accuracy_pct": 0.0,
+            "n_missing": 0,
+            "n_extra": 0,
+        }
+    pdf_counts = Counter(number_key(t) for t in pdf_tokens)
+    table_counts: Counter = Counter()
+    for df in frames:
+        table_counts.update(number_key(t) for t in extract_numbers_from_frame(df))
+
+    keys = set(pdf_counts) | set(table_counts)
+    matches = sum(min(pdf_counts[k], table_counts[k]) for k in keys)
+    missing = sum(1 for k in keys if table_counts[k] < pdf_counts[k])
+    extra = sum(1 for k in keys if table_counts[k] > pdf_counts[k])
+    total_pdf = sum(pdf_counts.values())
+    accuracy = (matches / total_pdf * 100) if total_pdf > 0 else 0.0
+    return {
+        "validation_status": "completed",
+        "pdf_numbers": total_pdf,
+        "table_numbers": sum(table_counts.values()),
+        "matched_numbers": matches,
+        "accuracy_pct": round(accuracy, 2),
+        "n_missing": missing,
+        "n_extra": extra,
+    }
 
 
 def _merge_and_serialize(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -73,6 +123,10 @@ def _merge_and_serialize(pdf: pd.DataFrame) -> pd.DataFrame:
     spans = serialize_spans(merged)
     rollups = sum(count_rollup_rows(r.frame) for r in merged)
     notes = sum(len(general_notes(r.frame)) for r in merged)
+    validation = _doc_validation(
+        [list(pn) for pn in sentinels["page_numbers"]],
+        [r.frame for r in merged],
+    )
     return pd.DataFrame(
         [
             {
@@ -84,6 +138,7 @@ def _merge_and_serialize(pdf: pd.DataFrame) -> pd.DataFrame:
                 "quality_retried": quality_retried,
                 "rollup_rows": int(rollups),
                 "n_notes": int(notes),
+                **validation,
             }
         ]
     )
