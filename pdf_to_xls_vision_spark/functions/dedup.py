@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four families, all shuffle-conscious and oracle-replayable:
+
+- **exact**: content-hash groupBy — one hash aggregate, the cheapest
+  possible dedup; at 100 TB this is a single shuffle on a 60-bit key
+  with near-perfect distribution.
+- **MinHash + LSH**: shingle -> per-seed min-hash signature -> band
+  buckets -> self-join *within buckets only*. The join never goes
+  all-pairs: candidate generation is |docs| x bands rows, and AQE's
+  skew-join splitting handles hot buckets (empty/boilerplate docs).
+- **SimHash**: per-token hash bit-votes folded into a compact
+  signature; exact-signature collisions are near-dups. One aggregate,
+  no join, ideal as a cheap pre-filter before MinHash.
+- **n-gram Jaccard**: exact similarity on candidate pairs (here the
+  consecutive-id demonstrator; in production fed by LSH candidates).
+
+All hashing goes through the portable md5-60bit (functions/hashing.py)
+so every operator has a DuckDB-replayable oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pdf_to_xls_vision_spark.functions.hashing import h60
+
+MINHASH_SEEDS = 8
+LSH_BAND_ROWS = 2  # 8 seeds / 2 rows -> 4 bands
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash; keep the minimum id as the
+    canonical representative."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), h60(text_col, "exact").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_seeds: int = MINHASH_SEEDS,
+) -> DataFrame:
+    """Per-(doc, seed) minimum of the salted token hash — the MinHash
+    signature as a long relation ``(doc_id, seed, minhash)``. Unigram
+    shingles keep the operator oracle-replayable; shingle width is a
+    parameter of ``_tokens`` in production."""
+    tokens = _tokens(docs, id_col, text_col)
+    seeded = tokens.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(n_seeds)])).alias("seed"),
+        "token",
+    )
+    hashed = seeded.select(
+        "doc_id",
+        "seed",
+        h60(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("token")), "mh").alias("th"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("th").alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    band_rows: int = LSH_BAND_ROWS,
+) -> DataFrame:
+    """Band the signature, bucket on the banded sub-signature, and
+    self-join within buckets -> distinct candidate pairs (a < b)."""
+    banded = signatures.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+    # band sub-signature built from (seed, minhash) pairs sorted by seed —
+    # collect_list alone has no deterministic order across partitions
+    buckets = (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seed", "minhash"))
+                    ),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """Bit-vote SimHash: for each of ``bits`` low bits of the token
+    hash, sign(sum(+1/-1 votes)) becomes the signature bit."""
+    tokens = _tokens(docs, id_col, text_col).withColumn("th", h60("token", "sh"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return agg.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact unigram Jaccard for candidate pairs ``(doc_a, doc_b)`` —
+    distinct-token intersection over union, via two semi-structured
+    joins (never materializes token sets on the driver)."""
+    toks = _tokens(docs, id_col, text_col).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tokens").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tokens").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))).alias("n_union"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / F.col("n_union"), 6),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, fingerprinting. All JVM-side expressions except the winnowing
+fingerprint (inherently sequential rolling hash -> vectorized pandas
+UDF over Arrow batches)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_to_xls_vision_spark.functions.hashing import h60
+
+#: tiny per-language stopword inventories for the n-gram-free heuristic
+#: classifier; scores are plain token-membership counts.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+PUNCT_CLASS = r"[^\w\s]"
+STOPWORDS_QUALITY = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def token_count_expr(text_col: str | Column) -> Column:
+    """Whitespace token count (size of the split array, empties out)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(c, " "), lambda t: t != ""))
+
+
+def lang_scores(text_col: str | Column) -> dict[str, Column]:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(c), " ")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words)))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id_expr(text_col: str | Column) -> Column:
+    """Heuristic language ID: argmax of stopword-membership scores,
+    alphabetical tie-break, 'und' (undetermined) when all scores are 0."""
+    scores = lang_scores(text_col)
+    # sort (-score, lang) ascending: element 1 is the max score with the
+    # alphabetically-first language winning ties
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+    best = F.element_at(F.sort_array(pairs), 1)
+    return F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score_expr(text_col: str | Column) -> Column:
+    """Composite document-quality score in [0,1]: rewards reasonable
+    length and stopword density, penalizes punctuation soup — the
+    document-level analog of the reference's table-quality gate."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(c)
+    toks = F.filter(F.split(F.lower(c), " "), lambda t: t != "")
+    n_toks = F.size(toks)
+    punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_CLASS), F.lit(0)))
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_QUALITY)))
+    len_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_toks > 0, stop / n_toks).otherwise(F.lit(0.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * F.least(stop_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def content_fingerprint_expr(text_col: str | Column) -> Column:
+    """60-bit content fingerprint (portable md5)."""
+    return h60(text_col, "fp")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprint — rolling hash, pandas UDF (sequential per doc)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 5  # k-gram length (tokens)
+_WINNOW_W = 4  # winnow window
+_B = 1_000_003
+_M = (1 << 61) - 1
+
+
+def _winnow(tokens: list[str]) -> list[int]:
+    """Winnowing (Schleimer et al., SIGMOD'03): k-gram rolling hashes,
+    minimum per sliding window, deduplicated in order."""
+    hs = []
+    for i in range(max(len(tokens) - _WINNOW_K + 1, 0)):
+        h = 0
+        for t in tokens[i : i + _WINNOW_K]:
+            h = (h * _B + hash_token(t)) % _M
+        hs.append(h)
+    if not hs:
+        return []
+    out = []
+    prev = None
+    for i in range(max(len(hs) - _WINNOW_W + 1, 1)):
+        window = hs[i : i + _WINNOW_W]
+        m = min(window)
+        if m != prev:
+            out.append(m)
+            prev = m
+    return out
+
+
+def hash_token(t: str) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:7], "big")
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document winnowed fingerprint set as ``array<long>`` —
+    rolling hash is order-dependent, so this is the one text operator
+    that runs as a pandas UDF (Arrow-batched, never per-row Python in
+    the plan)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b[id_col],
+                    "fingerprints": [
+                        _winnow(str(t).split()) for t in b[text_col]
+                    ],
+                }
+            )
+
+    out_schema = "doc_id long, fingerprints array<long>"
+    return docs.select(id_col, text_col).mapInPandas(run, out_schema)

@@ -35,7 +35,7 @@ def number_key_expr(token: str | Column) -> Column:
     """X4 multiset key: the double value when castable else the raw
     token (validation.py:164-180 folds 1,000 and 1000.0 together)."""
     col = F.col(token) if isinstance(token, str) else token
-    return F.coalesce(F.try_cast(col, "double").cast("string"), col)
+    return F.coalesce(col.try_cast("double").cast("string"), col)
 
 
 def multiset_counts(

@@ -1,0 +1,1000 @@
+"""Driver-contract query registry.
+
+Every SQL-expressible operator family from SURVEY.md §2 — plus the
+training-data-pipeline operators (dedup, similarity search, text
+analysis) — as paired (Spark builder, DuckDB oracle SQL) entries over
+the driver's TPC-H-ish tables. Column names/aliases match exactly on
+both sides; values are engineered cross-engine-exact (portable md5
+hashing, integer-quantized similarity, epoch-second timestamps,
+struct-distinct instead of string concat).
+
+Non-SQL-expressible operators (the extraction pipeline itself, the
+winnowing fingerprint, multimodal features) are registered without an
+oracle — the driver records a rows-only check and pytest covers their
+correctness against the sequential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_to_xls_vision_spark.core.numbers import NUMBER_PATTERN
+from pdf_to_xls_vision_spark.functions.ann import topk_dot_quantized, topk_ivf
+from pdf_to_xls_vision_spark.functions.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from pdf_to_xls_vision_spark.functions.hashing import h60_sql
+from pdf_to_xls_vision_spark.functions.text import (
+    lang_id_expr,
+    lang_scores,
+    quality_score_expr,
+    token_count_expr,
+    content_fingerprint_expr,
+)
+from pdf_to_xls_vision_spark.operators.validation import (
+    accuracy,
+    discrepancies,
+    multiset_counts,
+    number_tokens_expr,
+)
+
+ROLLUP_MARKERS = ["total", "gross", "effective", "net operating income", "noi"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# S/R — classification & routing (pdf_detection.py, converter.py)
+# ---------------------------------------------------------------------------
+
+def q_route_classifier(spark, sf_dir):
+    """S3/R1: text-probe routing (>50 stripped chars -> text path)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) > 50, F.lit("text"))
+        .otherwise(F.lit("vision"))
+        .alias("route"),
+    )
+
+
+SQL_ROUTE = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) > 50 THEN 'text' ELSE 'vision' END AS route
+FROM documents
+"""
+
+
+def q_probe_first3(spark, sf_dir):
+    """S3's LIMIT-3 probe: per source, classify from the first 3 docs only."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    probed = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return probed.groupBy("source").agg(
+        F.max(F.when(F.length(F.trim("text")) > 50, 1).otherwise(0)).alias("has_text"),
+        F.count("*").alias("probed_docs"),
+    )
+
+
+SQL_PROBE_FIRST3 = """
+WITH ranked AS (
+  SELECT source, text,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+       max(CASE WHEN length(trim(text)) > 50 THEN 1 ELSE 0 END) AS has_text,
+       count(*) AS probed_docs
+FROM ranked WHERE rn <= 3 GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q — quality heuristics as relational aggregates (quality_check.py)
+# ---------------------------------------------------------------------------
+
+def q_row_explosion(spark, sf_dir):
+    """Q1+Q2 shape over per-user event groups (>70 rows always; >50
+    with >12 distinct types)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.when(
+            (F.col("n_events") > 70)
+            | ((F.col("n_events") > 50) & (F.col("n_types") > 12)),
+            1,
+        )
+        .otherwise(0)
+        .alias("flagged"),
+    )
+
+
+SQL_ROW_EXPLOSION = """
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       CASE WHEN count(*) > 70
+              OR (count(*) > 50 AND count(DISTINCT event_type) > 12)
+            THEN 1 ELSE 0 END AS flagged
+FROM events GROUP BY user_id
+"""
+
+
+def q_empty_ratio(spark, sf_dir):
+    """Q4: null/empty ratio per group, threshold 0.6 (<20 rows) else 0.5."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("props").isNull() | (F.col("props") == ""), 1).otherwise(0)
+        ).alias("n_empty"),
+    )
+    return g.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("n_empty") / F.col("n_rows"), 6).alias("empty_ratio"),
+        F.when(
+            F.col("n_empty") / F.col("n_rows")
+            > F.when(F.col("n_rows") < 20, 0.6).otherwise(0.5),
+            1,
+        )
+        .otherwise(0)
+        .alias("flagged"),
+    )
+
+
+SQL_EMPTY_RATIO = """
+SELECT event_type,
+       count(*) AS n_rows,
+       round(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS empty_ratio,
+       CASE WHEN sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE)
+               > CASE WHEN count(*) < 20 THEN 0.6 ELSE 0.5 END
+            THEN 1 ELSE 0 END AS flagged
+FROM events GROUP BY event_type
+"""
+
+
+def q_duplicate_rows(spark, sf_dir):
+    """Q5: duplicated (event_type, value) rows per user > 20%."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_type", "value").alias("n_distinct"),
+    )
+    return g.select(
+        "user_id",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_dups"),
+        F.when(
+            (F.col("n_rows") > 5)
+            & ((F.col("n_rows") - F.col("n_distinct")) / F.col("n_rows") > 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("flagged"),
+    )
+
+
+SQL_DUPLICATE_ROWS = """
+SELECT user_id,
+       count(*) AS n_rows,
+       count(*) - count(DISTINCT (event_type, value)) AS n_dups,
+       CASE WHEN count(*) > 5
+              AND (count(*) - count(DISTINCT (event_type, value)))
+                  / CAST(count(*) AS DOUBLE) > 0.2
+            THEN 1 ELSE 0 END AS flagged
+FROM events GROUP BY user_id
+"""
+
+
+def q_garbled_share(spark, sf_dir):
+    """Q6's special-char-run detector as a per-language share."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").rlike(r"[^\w\s$,.%()\-'/]{3,}"), 1).otherwise(0)
+        ).alias("n_garbled"),
+    )
+
+
+SQL_GARBLED_SHARE = r"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(CASE WHEN regexp_matches(text, '[^\w\s$,.%()\-''/]{3,}')
+                THEN 1 ELSE 0 END) AS n_garbled
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# X — validation relational core (validation.py)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = f"""
+  SELECT event_id, unnest(regexp_extract_all(props, '{NUMBER_PATTERN}')) AS tok
+  FROM events WHERE props IS NOT NULL
+"""
+
+_SQL_NORMALIZED = """
+  SELECT event_id,
+         CASE WHEN tok LIKE '(%' AND tok LIKE '%)'
+              THEN '-' || replace(replace(replace(replace(replace(tok,
+                     '$',''),',',''),'%',''),'(',''),')','')
+              ELSE replace(replace(replace(tok, '$',''),',',''),'%','') END AS num
+  FROM toks WHERE tok <> ''
+"""
+
+
+def q_number_extraction(spark, sf_dir):
+    """X1: regex number extraction + normalization over events.props."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return ev.select(
+        "event_id", F.explode(number_tokens_expr("props")).alias("num")
+    )
+
+
+SQL_NUMBER_EXTRACTION = f"""
+WITH toks AS ({_SQL_TOKENS})
+{_SQL_NORMALIZED}
+"""
+
+
+def q_multiset_counts(spark, sf_dir):
+    """X4: the number multiset as a hash aggregate (float-folded key)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    counts = multiset_counts(ev, "props")
+    return counts.select(
+        F.col("number_key").try_cast("double").alias("number_key"),
+        F.col("cnt").alias("cnt"),
+    )
+
+
+SQL_MULTISET_COUNTS = f"""
+WITH toks AS ({_SQL_TOKENS}),
+norm AS ({_SQL_NORMALIZED})
+SELECT TRY_CAST(num AS DOUBLE) AS number_key, count(*) AS cnt
+FROM norm GROUP BY 1
+"""
+
+
+def q_discrepancy_join(spark, sf_dir):
+    """X5: full outer count comparison — lineitem part usage vs the
+    part table (the 'pdf vs tables' multiset shape)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("number_key")
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("number_key")
+    )
+    src = li.groupBy("number_key").agg(F.count("*").alias("cnt"))
+    ext = pt.groupBy("number_key").agg(F.count("*").alias("cnt"))
+    d = discrepancies(src, ext)
+    return d.select(
+        F.col("number_key").cast("bigint").alias("partkey"),
+        F.col("pdf_count").alias("lineitem_count"),
+        F.col("table_count").alias("part_count"),
+        "status",
+    )
+
+
+SQL_DISCREPANCY_JOIN = """
+WITH src AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+ext AS (SELECT p_partkey AS k, count(*) AS cnt FROM part GROUP BY 1)
+SELECT coalesce(src.k, ext.k) AS partkey,
+       coalesce(src.cnt, 0) AS lineitem_count,
+       coalesce(ext.cnt, 0) AS part_count,
+       CASE WHEN coalesce(ext.cnt,0) < coalesce(src.cnt,0) THEN 'missing_in_tables'
+            WHEN coalesce(ext.cnt,0) > coalesce(src.cnt,0) THEN 'extra_in_tables'
+            ELSE 'matched' END AS status
+FROM src FULL OUTER JOIN ext ON src.k = ext.k
+"""
+
+
+def q_accuracy_metric(spark, sf_dir):
+    """X6: least-sum match accuracy over the X5 relation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("number_key")
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("string").alias("number_key")
+    )
+    src = li.groupBy("number_key").agg(F.count("*").alias("cnt"))
+    ext = pt.groupBy("number_key").agg(F.count("*").alias("cnt"))
+    return accuracy(discrepancies(src, ext)).select(
+        "total_pdf_numbers",
+        "total_table_numbers",
+        "matches",
+        "n_missing",
+        "n_extra",
+        "accuracy_percent",
+    )
+
+
+SQL_ACCURACY_METRIC = """
+WITH src AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+ext AS (SELECT p_partkey AS k, count(*) AS cnt FROM part GROUP BY 1),
+j AS (
+  SELECT coalesce(src.cnt, 0) AS pdf_count, coalesce(ext.cnt, 0) AS table_count
+  FROM src FULL OUTER JOIN ext ON src.k = ext.k
+)
+SELECT sum(pdf_count) AS total_pdf_numbers,
+       sum(table_count) AS total_table_numbers,
+       sum(least(pdf_count, table_count)) AS matches,
+       sum(CASE WHEN table_count < pdf_count THEN 1 ELSE 0 END) AS n_missing,
+       sum(CASE WHEN table_count > pdf_count THEN 1 ELSE 0 END) AS n_extra,
+       round(sum(least(pdf_count, table_count))
+             / CAST(sum(pdf_count) AS DOUBLE) * 100, 2) AS accuracy_percent
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# M1 — continuation merge as the segment-window pattern
+# ---------------------------------------------------------------------------
+
+def q_sessionize(spark, sf_dir):
+    """M1's window+segment composition: per-user sessions split on
+    >30-minute gaps; value sums integer-quantized for exactness."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "epoch", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_seg",
+        F.when(F.col("epoch") - F.lag("epoch").over(w) > 1800, 1).otherwise(0)
+        + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    ).withColumn("segment", F.sum("new_seg").over(w))
+    return gapped.groupBy("user_id", "segment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000)).alias("value_milli"),
+        F.min("epoch").alias("start_epoch"),
+        F.max("epoch").alias("end_epoch"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1
+              ELSE 0 END AS new_seg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, event_id, ts, value,
+         sum(new_seg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS segment
+  FROM lagged
+)
+SELECT user_id, segment,
+       count(*) AS n_events,
+       sum(floor(value * 1000))::BIGINT AS value_milli,
+       min(floor(epoch(ts))::BIGINT) AS start_epoch,
+       max(floor(epoch(ts))::BIGINT) AS end_epoch
+FROM seg GROUP BY user_id, segment
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1 / W1 — rollup scan & sheet naming as expressions
+# ---------------------------------------------------------------------------
+
+def q_rollup_scan(spark, sf_dir):
+    """A1 fallback: marker-containment scan (excel_writer.py:125)."""
+    docs = _t(spark, sf_dir, "documents")
+    cond = None
+    for m in ROLLUP_MARKERS:
+        c = F.instr(F.lower("text"), m) > 0
+        cond = c if cond is None else (cond | c)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(cond, 1).otherwise(0)).alias("n_rollup_docs"),
+    )
+
+
+SQL_ROLLUP_SCAN = """
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN instr(lower(text), 'total') > 0
+                 OR instr(lower(text), 'gross') > 0
+                 OR instr(lower(text), 'effective') > 0
+                 OR instr(lower(text), 'net operating income') > 0
+                 OR instr(lower(text), 'noi') > 0
+            THEN 1 ELSE 0 END) AS n_rollup_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_sheet_names(spark, sf_dir):
+    """W1 sheet-naming semantics (excel_writer.py:338-347) as pure
+    expressions over (orderkey=doc, linenumber=table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    named = li.withColumn("n_tables", F.count("*").over(w)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("n_tables") == 1, F.lit("Sheet1"))
+        .when(
+            F.length(
+                F.concat(
+                    F.lit("Page"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("_Table"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            > 31,
+            F.concat(
+                F.lit("P"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("_T"),
+                F.col("l_linenumber").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Page"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("_Table"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        .alias("sheet_name"),
+    )
+    return named
+
+
+SQL_SHEET_NAMES = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN count(*) OVER (PARTITION BY l_orderkey) = 1 THEN 'Sheet1'
+            WHEN length('Page' || l_orderkey || '_Table' || l_linenumber) > 31
+            THEN 'P' || l_orderkey || '_T' || l_linenumber
+            ELSE 'Page' || l_orderkey || '_Table' || l_linenumber END AS sheet_name
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = f"""
+SELECT {h60_sql('text', 'exact')} AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+seeded AS (
+  SELECT doc_id, seed, token
+  FROM toks, (SELECT unnest(range(8)) AS seed)
+  WHERE token <> ''
+)
+SELECT doc_id, seed::INT AS seed,
+       min({h60_sql("seed || '|' || token", 'mh')}) AS minhash
+FROM seeded GROUP BY doc_id, seed
+"""
+
+
+def q_lsh_pairs(spark, sf_dir):
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs, band_rows=4)
+
+
+SQL_LSH_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+seeded AS (
+  SELECT doc_id, seed, token
+  FROM toks, (SELECT unnest(range(8)) AS seed) WHERE token <> ''
+),
+sigs AS (
+  SELECT doc_id, seed,
+         min({h60_sql("seed || '|' || token", 'mh')}) AS minhash
+  FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, (seed // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS sig
+  FROM sigs GROUP BY doc_id, (seed // 4)::INT
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    folded = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hashed AS (
+  SELECT doc_id, {h60_sql('token', 'sh')} AS th FROM toks WHERE token <> ''
+),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({folded})::BIGINT AS simhash FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
+
+
+def q_jaccard_neighbors(spark, sf_dir):
+    """Exact unigram Jaccard for the consecutive-id candidate pairs (in
+    production the LSH candidates feed this)."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(
+            ids.alias("b"),
+            F.col("b.doc_id") == F.col("a.doc_id") + 1,
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return jaccard_pairs(docs, pairs)
+
+
+SQL_JACCARD_NEIGHBORS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN toks2 ta ON ta.doc_id = p.doc_a
+  JOIN toks2 tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
+       round(coalesce(i.n_inter, 0) / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+N_PROBES = 5
+TOP_K = 5
+
+
+def q_ann_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return topk_dot_quantized(emb, probes, k=TOP_K)
+
+
+SQL_ANN_BRUTE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS qv
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+base AS (
+  SELECT vec_id AS nbr_id,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, base.nbr_id,
+         list_sum([qv[i] * nv[i] FOR i IN range(1, len(qv) + 1)])::BIGINT AS qdot
+  FROM q, base WHERE q.query_id <> base.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, nbr_id, qdot
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return topk_ivf(emb, probes, k=TOP_K)
+
+
+SQL_ANN_IVF = f"""
+WITH q AS (
+  SELECT label AS cell, vec_id AS query_id,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS qv
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+base AS (
+  SELECT label AS cell, vec_id AS nbr_id,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, base.nbr_id,
+         list_sum([qv[i] * nv[i] FOR i IN range(1, len(qv) + 1)])::BIGINT AS qdot
+  FROM q JOIN base USING (cell) WHERE q.query_id <> base.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, nbr_id, qdot
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_expr("text")).alias("total_tokens"),
+        F.min(token_count_expr("text")).alias("min_tokens"),
+        F.max(token_count_expr("text")).alias("max_tokens"),
+    )
+
+
+SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scores = lang_scores("text")
+    return docs.select(
+        "doc_id",
+        lang_id_expr("text").alias("predicted_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in sorted(scores)],
+    )
+
+
+SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+scores AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS score_de,
+    len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS score_en,
+    len(list_filter(ws, x -> x IN ('el','la','de','y','que'))) AS score_es,
+    len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS score_fr
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+       ELSE 'fr' END AS predicted_lang,
+  score_de, score_en, score_es, score_fr
+FROM scores
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_expr("text").alias("quality"))
+
+
+SQL_QUALITY_SCORE = r"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         len(regexp_extract_all(text, '[^\w\s]')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, punct,
+         len(toks) AS n_toks,
+         len(list_filter(toks,
+             x -> x IN ('the','a','of','and','to','in','is'))) AS stop
+  FROM base
+)
+SELECT doc_id,
+       round(
+         0.4 * least(n_chars / 400.0, 1.0)
+         + 0.4 * least((CASE WHEN n_toks > 0
+                             THEN stop / CAST(n_toks AS DOUBLE) ELSE 0 END) * 4, 1.0)
+         + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                                    THEN punct / CAST(n_chars AS DOUBLE) ELSE 0 END) * 5, 1.0)),
+       6) AS quality
+FROM m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", content_fingerprint_expr("text").alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, {h60_sql('text', 'fp')} AS fingerprint FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational breadth: aggregation + multi-join (bench headliners)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem (agg breadth +
+    whole-stage-codegen hot loop for the bench)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            F.round("sum_base_price", 2).alias("sum_base_price"),
+            F.round("sum_disc_price", 2).alias("sum_disc_price"),
+            "count_order",
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Broadcast-dimension multi-join: revenue per nation (customer and
+    nation are broadcast; only lineitem-orders shuffles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: the extraction pipeline itself (+ pandas-UDF ops)
+# rows-only checks; pytest covers exact correctness vs the oracle.
+# ---------------------------------------------------------------------------
+
+_CORPUS_CACHE: dict[str, str] = {}
+
+
+def _corpus_df(spark, n_docs: int = 64):
+    import os
+    import tempfile
+
+    from pdf_to_xls_vision_spark.corpus import write_corpus_parquet
+
+    key = f"n{n_docs}"
+    if key not in _CORPUS_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(), f"ptxv_corpus_{n_docs}.parquet"
+        )
+        if not os.path.exists(path):
+            write_corpus_parquet(path, n_docs)
+        _CORPUS_CACHE[key] = path
+    return spark.read.parquet(_CORPUS_CACHE[key])
+
+
+def q_extraction_spans(spark, sf_dir):
+    """The flagship: full extraction pipeline on the deterministic
+    corpus, exploded to span rows."""
+    from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
+
+    res = run_extraction(_corpus_df(spark))
+    return res.select("doc_id", F.explode_outer("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("ord"),
+    )
+
+
+def q_extraction_metrics(spark, sf_dir):
+    from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
+
+    res = run_extraction(_corpus_df(spark))
+    return res.select(
+        "doc_id",
+        "n_tables",
+        "pages_parsed",
+        "rotation_corrections",
+        "quality_retried",
+        "rollup_rows",
+        "n_notes",
+        "validation_status",
+        "accuracy_pct",
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from pdf_to_xls_vision_spark.functions.multimodal import (
+        corpus_media_refs,
+        media_features,
+    )
+
+    return media_features(corpus_media_refs(_corpus_df(spark)))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    from pdf_to_xls_vision_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    return fps.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "s3_route_classifier": q_route_classifier,
+    "s3_probe_first3": q_probe_first3,
+    "q2_row_explosion": q_row_explosion,
+    "q4_empty_ratio": q_empty_ratio,
+    "q5_duplicate_rows": q_duplicate_rows,
+    "q6_garbled_share": q_garbled_share,
+    "x1_number_extraction": q_number_extraction,
+    "x4_multiset_counts": q_multiset_counts,
+    "x5_discrepancy_join": q_discrepancy_join,
+    "x6_accuracy_metric": q_accuracy_metric,
+    "m1_sessionize_window": q_sessionize,
+    "a1_rollup_scan": q_rollup_scan,
+    "w1_sheet_names": q_sheet_names,
+    "dedup_exact": q_exact_dedup,
+    "dedup_minhash_signatures": q_minhash_signatures,
+    "dedup_lsh_pairs": q_lsh_pairs,
+    "dedup_simhash": q_simhash,
+    "dedup_jaccard_neighbors": q_jaccard_neighbors,
+    "ann_topk_brute": q_ann_brute_force,
+    "ann_topk_ivf": q_ann_ivf,
+    "text_token_stats": q_token_stats,
+    "text_lang_id": q_lang_id,
+    "text_quality_score": q_quality_score,
+    "text_fingerprint": q_fingerprint,
+    "agg_pricing_summary": q_pricing_summary,
+    "join_nation_revenue": q_nation_revenue,
+    # non-SQL-expressible (rows-only driver check; pytest covers parity)
+    "extraction_spans": q_extraction_spans,
+    "extraction_metrics": q_extraction_metrics,
+    "multimodal_media_features": q_media_features,
+    "text_winnow_fingerprints": q_winnow_fingerprints,
+}
+
+ORACLES = {
+    "s3_route_classifier": SQL_ROUTE,
+    "s3_probe_first3": SQL_PROBE_FIRST3,
+    "q2_row_explosion": SQL_ROW_EXPLOSION,
+    "q4_empty_ratio": SQL_EMPTY_RATIO,
+    "q5_duplicate_rows": SQL_DUPLICATE_ROWS,
+    "q6_garbled_share": SQL_GARBLED_SHARE,
+    "x1_number_extraction": SQL_NUMBER_EXTRACTION,
+    "x4_multiset_counts": SQL_MULTISET_COUNTS,
+    "x5_discrepancy_join": SQL_DISCREPANCY_JOIN,
+    "x6_accuracy_metric": SQL_ACCURACY_METRIC,
+    "m1_sessionize_window": SQL_SESSIONIZE,
+    "a1_rollup_scan": SQL_ROLLUP_SCAN,
+    "w1_sheet_names": SQL_SHEET_NAMES,
+    "dedup_exact": SQL_EXACT_DEDUP,
+    "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "dedup_lsh_pairs": SQL_LSH_PAIRS,
+    "dedup_simhash": SQL_SIMHASH,
+    "dedup_jaccard_neighbors": SQL_JACCARD_NEIGHBORS,
+    "ann_topk_brute": SQL_ANN_BRUTE,
+    "ann_topk_ivf": SQL_ANN_IVF,
+    "text_token_stats": SQL_TOKEN_STATS,
+    "text_lang_id": SQL_LANG_ID,
+    "text_quality_score": SQL_QUALITY_SCORE,
+    "text_fingerprint": SQL_FINGERPRINT,
+    "agg_pricing_summary": SQL_PRICING_SUMMARY,
+    "join_nation_revenue": SQL_NATION_REVENUE,
+}
