@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Headline benchmark harness (driver contract).
+
+Runs the flagship extraction pipeline plus the heavy relational /
+dedup / similarity queries from the driver registry at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Plans execute end-to-end via the ``noop`` DSv2 sink (full computation,
+no collect-to-driver, no disk write), so the timing measures scan +
+shuffle + UDF + aggregation — the same path a cluster run takes.
+
+The extraction headline also reports ``docs_per_sec`` — the
+BASELINE.json target metric — over the deterministic skewed corpus
+(FIXTURES.md): many 1-pagers, a heavy tail of 100+-page documents.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``scripts/bench_scaling.py`` / ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# documents in the deterministic extraction corpus (seeded, skewed)
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+
+# Headline relational queries from the driver registry (plans/queries.py)
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_nation_revenue",
+    "x4_multiset_counts",
+    "x5_discrepancy_join",
+    "m1_sessionize_window",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "ann_topk_ivf",
+    "text_quality_score",
+    "text_lang_id",
+]
+
+
+def _run(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from pdf_to_xls_vision_spark.corpus import write_corpus_parquet
+    from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
+    from pdf_to_xls_vision_spark.plans.queries import QUERIES
+    from pdf_to_xls_vision_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # corpus generation happens outside the timed region
+    corpus_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"ptxv_bench_corpus_{BENCH_DOCS}.parquet"
+    )
+    if not os.path.exists(corpus_path):
+        write_corpus_parquet(corpus_path, BENCH_DOCS)
+    corpus = spark.read.parquet(corpus_path)
+
+    # warm the JVM + Python worker pool so q1 doesn't pay startup costs
+    _run(corpus.select("doc_id"))
+
+    timings: dict[str, float] = {}
+
+    t_ext = _run(run_extraction(corpus))
+    timings["extraction_pipeline"] = round(t_ext, 3)
+    spark.catalog.clearCache()  # drop the pipeline's persisted page relation
+
+    for name in HEADLINE:
+        timings[name] = round(_run(QUERIES[name](spark, SF_DIR)), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "headline wall time: extraction pipeline "
+                    f"({BENCH_DOCS} skewed docs) + {len(HEADLINE)} "
+                    f"relational/dedup/ANN queries, local[{CPUS}]"
+                ),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "docs_per_sec": round(BENCH_DOCS / t_ext, 2),
+                "bench_docs": BENCH_DOCS,
+                "master": f"local[{CPUS}]",
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,20 @@ from pdf_to_xls_vision_spark.functions.hashing import h60
 MINHASH_SEEDS = 8
 LSH_BAND_ROWS = 2  # 8 seeds / 2 rows -> 4 bands
 
+#: Mersenne prime 2^31-1: affine products of reduced hashes stay under
+#: 2^62, so the arithmetic is exact in int64 on both Spark and DuckDB.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(n_seeds: int = MINHASH_SEEDS) -> list[tuple[int, int]]:
+    """Deterministic affine constants (a_i, b_i) for seed derivation:
+    h_i = (a_i * base + b_i) mod P. Knuth multiplier keeps a_i well
+    mixed; a_i is never 0 because 2654435761 is coprime with P."""
+    return [
+        ((2 * i + 1) * 2654435761 % MINHASH_P, (i * 40503 + 17) % MINHASH_P)
+        for i in range(n_seeds)
+    ]
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: group by content hash; keep the minimum id as the
@@ -61,17 +75,30 @@ def minhash_signatures(
     shingles keep the operator oracle-replayable; shingle width is a
     parameter of ``_tokens`` in production."""
     tokens = _tokens(docs, id_col, text_col)
-    seeded = tokens.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(n_seeds)])).alias("seed"),
-        "token",
+    # One md5 per token; the n_seeds hash families are affine
+    # derivations (a_i*h+b_i mod P) folded into a single groupBy pass —
+    # no seed explode, so the shuffle carries |docs| rows of n_seeds
+    # mins instead of |tokens| x n_seeds hash rows.
+    base = (h60("token", "mh") % MINHASH_P).alias("base")
+    hashed = tokens.select("doc_id", base)
+    mins = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(minhash_params(n_seeds))
+        ]
     )
-    hashed = seeded.select(
-        "doc_id",
-        "seed",
-        h60(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("token")), "mh").alias("th"),
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("seed"),
+                F.col(f"m{i}").alias("minhash"),
+            )
+            for i in range(n_seeds)
+        ]
     )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("th").alias("minhash"))
+    return mins.select("doc_id", F.explode(pairs).alias("s")).select(
+        "doc_id", F.col("s.seed").alias("seed"), F.col("s.minhash").alias("minhash")
+    )
 
 
 def lsh_candidate_pairs(

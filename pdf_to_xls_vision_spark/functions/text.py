@@ -66,7 +66,9 @@ def quality_score_expr(text_col: str | Column) -> Column:
     n_chars = F.length(c)
     toks = F.filter(F.split(F.lower(c), " "), lambda t: t != "")
     n_toks = F.size(toks)
-    punct = F.size(F.regexp_extract_all(c, F.lit(PUNCT_CLASS), F.lit(0)))
+    # count of single-char-class matches == chars removed by replace;
+    # regexp_replace avoids materializing the match array (~2x faster)
+    punct = n_chars - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
     stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS_QUALITY)))
     len_score = F.least(n_chars / F.lit(400.0), F.lit(1.0))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))

@@ -197,6 +197,12 @@ def run_extraction(
     vision_pages = pages.filter(F.col("route") == "vision")
 
     text_ext = text_pages.mapInPandas(extract_text_pages, EXTRACTION_SCHEMA)
+    if persist_pages:
+        # the parse output feeds BOTH the retry aggregate and the kept
+        # branch — persisting it halves the layout-parse UDF work (the
+        # single most expensive stage). At the 100 TB design point the
+        # same flag disables it: recompute beats caching the corpus.
+        text_ext = text_ext.persist(StorageLevel.MEMORY_AND_DISK)
 
     # R2 — document-level retry: any quality issue on any table, or zero
     # tables for the whole document (converter.py:117-132). Sentinel rows

@@ -490,18 +490,36 @@ def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
-SQL_MINHASH_SIGNATURES = f"""
-WITH toks AS (
+def _minhash_mins_sql() -> str:
+    """Shared CTE body: one md5 per token, affine seed derivations
+    folded into a single grouped pass (mirrors dedup.minhash_signatures)."""
+    from pdf_to_xls_vision_spark.functions.dedup import MINHASH_P, minhash_params
+
+    mins = ",\n         ".join(
+        f"min(({a} * base + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params())
+    )
+    return f"""
+toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ),
-seeded AS (
-  SELECT doc_id, seed, token
-  FROM toks, (SELECT unnest(range(8)) AS seed)
-  WHERE token <> ''
-)
-SELECT doc_id, seed::INT AS seed,
-       min({h60_sql("seed || '|' || token", 'mh')}) AS minhash
-FROM seeded GROUP BY doc_id, seed
+hashed AS (
+  SELECT doc_id, {h60_sql('token', 'mh')} % {MINHASH_P} AS base
+  FROM toks WHERE token <> ''
+),
+mins AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+)"""
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_minhash_mins_sql()}
+SELECT doc_id,
+       unnest([{', '.join(str(i) for i in range(8))}])::INT AS seed,
+       unnest([{', '.join(f'm{i}' for i in range(8))}])::BIGINT AS minhash
+FROM mins
 """
 
 
@@ -511,22 +529,15 @@ def q_lsh_pairs(spark, sf_dir):
 
 
 SQL_LSH_PAIRS = f"""
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
-),
-seeded AS (
-  SELECT doc_id, seed, token
-  FROM toks, (SELECT unnest(range(8)) AS seed) WHERE token <> ''
-),
-sigs AS (
-  SELECT doc_id, seed,
-         min({h60_sql("seed || '|' || token", 'mh')}) AS minhash
-  FROM seeded GROUP BY doc_id, seed
-),
+WITH {_minhash_mins_sql()},
 bands AS (
-  SELECT doc_id, (seed // 4)::INT AS band,
-         string_agg(minhash::VARCHAR, ',' ORDER BY seed) AS sig
-  FROM sigs GROUP BY doc_id, (seed // 4)::INT
+  SELECT doc_id, 0 AS band,
+         m0::VARCHAR || ',' || m1::VARCHAR || ',' || m2::VARCHAR || ',' || m3::VARCHAR AS sig
+  FROM mins
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         m4::VARCHAR || ',' || m5::VARCHAR || ',' || m6::VARCHAR || ',' || m7::VARCHAR AS sig
+  FROM mins
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
