@@ -108,6 +108,53 @@ def parse_page_words(words: list[dict]) -> list[list[list[str | None]]]:
     return [rows]
 
 
+def prune_grid(
+    table: list[list[str | None]],
+) -> tuple[list[str | None], list[list[str | None]]] | None:
+    """List-form header promotion + all-null row/column pruning with
+    ``grid_to_frame``'s exact semantics (table_extraction.py:438-439:
+    first row -> header, then ``dropna(how='all')`` on rows, then on
+    columns over the remaining rows) — but without constructing a
+    pandas DataFrame. The text path parses millions of small tables;
+    pandas object construction + reductions dominated its profile
+    (95% of CPU on 3-12-cell frames), so the hot path stays on plain
+    lists and pandas is reserved for the vision/CSV branch.
+    """
+    if not table:
+        return None
+    header, data = table[0], table[1:]
+    rows = [r for r in data if any(v is not None for v in r)]
+    if not rows:
+        return None
+    keep = [j for j in range(len(header)) if any(r[j] is not None for r in rows)]
+    if not keep:
+        return None
+    if len(keep) == len(header):
+        return header, rows
+    return (
+        [header[j] for j in keep],
+        [[r[j] for j in keep] for r in rows],
+    )
+
+
+def parse_text_page_grids(
+    payload: str,
+) -> list[tuple[list[str | None], list[list[str | None]]]]:
+    """Decode a text-span JSON payload and parse to pruned (header,
+    rows) grids — the pandas-free twin of ``parse_text_page_payload``."""
+    try:
+        doc = json.loads(payload)
+        words = doc.get("words", [])
+    except Exception:
+        return []
+    grids = []
+    for table in parse_page_words(words):
+        g = prune_grid(table)
+        if g is not None:
+            grids.append(g)
+    return grids
+
+
 def grid_to_frame(table: list[list[str | None]]) -> pd.DataFrame | None:
     """Header promotion + all-null row/column pruning
     (table_extraction.py:438-439). Returns None for empty results."""

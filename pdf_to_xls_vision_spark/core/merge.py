@@ -55,6 +55,88 @@ def _has_generic_headers(df: pd.DataFrame) -> bool:
     return False
 
 
+@dataclass
+class GridRecord:
+    """Grid-form table record: ``header``/``rows`` of ``str | None``
+    cells instead of a pandas frame. The extraction UDFs already carry
+    tables in this shape across the Arrow boundary, and per-table
+    pandas construction dominated the merge stage's profile — so the
+    hot path (pipeline._merge_and_serialize) stays on grids while the
+    frame API above remains for the vision/CSV branch and tests."""
+
+    header: list
+    rows: list
+    page: int
+    table_id: int
+    media_ref: str = ""
+    quality_issues: list[str] = field(default_factory=list)
+
+
+def _grid_starts_with_detail(rec: GridRecord) -> bool:
+    if rec.rows and "Row_Type" in rec.header:
+        v = rec.rows[0][rec.header.index("Row_Type")]
+        return str(v).strip().upper() == "DETAIL"
+    return False
+
+
+def _grid_has_generic_headers(header: list) -> bool:
+    for col in (str(c) for c in header):
+        if col in ("Row_Type", "Category"):
+            continue
+        if (col.startswith("Col") and col[3:].isdigit()) or (
+            col.startswith("Column") and col[6:].isdigit()
+        ):
+            return True
+    return False
+
+
+def merge_grid_continuations(tables: list[GridRecord]) -> list[GridRecord]:
+    """Grid-form :func:`merge_continuations` — identical four-condition
+    greedy scan (excel_writer.py:28-113); "rename continuation columns
+    then concat" reduces to concatenating rows under the head's header."""
+    if len(tables) <= 1:
+        return tables
+
+    merged: list[GridRecord] = []
+    i = 0
+    while i < len(tables):
+        head = tables[i]
+        run = [head]
+        j = i + 1
+        while j < len(tables):
+            nxt = tables[j]
+            if (
+                nxt.page == head.page + (j - i)
+                and len(nxt.header) == len(head.header)
+                and _grid_starts_with_detail(nxt)
+                and _grid_has_generic_headers(nxt.header)
+            ):
+                run.append(nxt)
+                j += 1
+            else:
+                break
+
+        if len(run) > 1:
+            rows = list(run[0].rows)
+            for cont in run[1:]:
+                rows.extend(cont.rows)
+            merged.append(
+                GridRecord(
+                    header=head.header,
+                    rows=rows,
+                    page=head.page,
+                    table_id=head.table_id,
+                    media_ref=head.media_ref,
+                    quality_issues=head.quality_issues,
+                )
+            )
+            i = j
+        else:
+            merged.append(head)
+            i += 1
+    return merged
+
+
 def merge_continuations(tables: list[TableRecord]) -> list[TableRecord]:
     """Greedy forward merge of page-spanning tables (excel_writer.py:28-113)."""
     if len(tables) <= 1:

@@ -52,6 +52,20 @@ def extract_numbers_from_frame(df: pd.DataFrame) -> list[str]:
     return out
 
 
+def extract_numbers_from_grid(header: list, rows: list) -> list[str]:
+    """Grid-form :func:`extract_numbers_from_frame`: same column-major
+    walk and label-column skip over ``str | None`` cells."""
+    out: list[str] = []
+    for j, col in enumerate(header):
+        if col in NON_NUMERIC_COLUMNS:
+            continue
+        for r in rows:
+            v = r[j]
+            if v is not None:
+                out.extend(extract_numbers(str(v)))
+    return out
+
+
 def number_key(token: str) -> str:
     """Canonical multiset key: the float value when the token parses,
     else the raw token (validation.py:164-180 folds both into one

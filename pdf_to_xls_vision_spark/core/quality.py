@@ -27,6 +27,101 @@ _GARBLED_SAMPLE_CAP = 100
 _GARBLED_PER_COLUMN = 20
 
 
+def grid_quality_issues(
+    header: list[str | None], rows: list[list[str | None]]
+) -> list[str]:
+    """Q1-Q6 over a plain (header, rows) grid of ``str | None`` cells —
+    semantics identical to :func:`table_quality_issues` (which stays
+    for the vision/CSV branch where pandas may infer numeric cells);
+    the text path calls this to avoid per-table pandas overhead.
+    """
+    issues: list[str] = []
+    if not rows or not header:
+        return issues
+
+    n_rows = len(rows)
+    n_cols = len(header)
+
+    # Q1
+    if n_cols == 1 and n_rows > 3:
+        issues.append(
+            f"Single column table with {n_rows} rows (likely parsing error)"
+        )
+
+    # Q2
+    if n_rows > 70:
+        issues.append(
+            f"Excessive row count ({n_rows} rows, likely incorrect parsing)"
+        )
+    elif n_rows > 50 and n_cols > 12:
+        issues.append(
+            f"Excessive row count ({n_rows} rows) with many columns ({n_cols}), "
+            "likely incorrect parsing"
+        )
+
+    # Q3 — mode of per-row non-null counts; pandas Series.mode() sorts
+    # ascending so ties resolve to the SMALLEST most-frequent value.
+    nn = [sum(1 for v in r if v is not None) for r in rows]
+    freq: dict[int, int] = {}
+    for c in nn:
+        freq[c] = freq.get(c, 0) + 1
+    top = max(freq.values())
+    common = min(k for k, v in freq.items() if v == top)
+    ratio = sum(1 for c in nn if c != common) / n_rows
+    if ratio > 0.3:
+        issues.append(f"Inconsistent column counts ({ratio:.1%} of rows differ)")
+
+    # Q4
+    total_cells = n_rows * n_cols
+    empty_ratio = (
+        sum(1 for r in rows for v in r if v is None) / total_cells
+        if total_cells
+        else 0.0
+    )
+    threshold = 0.6 if n_rows < 20 else 0.5
+    if empty_ratio > threshold:
+        issues.append(f"High empty cell ratio ({empty_ratio:.1%} empty cells)")
+
+    # Q5 — string-compared duplicates (None -> 'None', matching astype(str))
+    if n_rows > 5:
+        seen: set[tuple] = set()
+        dup = 0
+        for r in rows:
+            key = tuple("None" if v is None else str(v) for v in r)
+            if key in seen:
+                dup += 1
+            else:
+                seen.add(key)
+        dup_ratio = dup / n_rows
+        if dup_ratio > 0.2:
+            issues.append(
+                f"High duplicate row ratio ({dup_ratio:.1%} of rows are "
+                f"duplicates, {dup}/{n_rows} rows)"
+            )
+
+    # Q6 — first 20 values per column, column-major, cap min(100, cells)
+    garbled = 0
+    checked = 0
+    cap = min(_GARBLED_SAMPLE_CAP, total_cells)
+    for j in range(n_cols):
+        for r in rows[:_GARBLED_PER_COLUMN]:
+            val = r[j]
+            if val is not None:
+                checked += 1
+                if _GARBLED_NONPRINT.search(val):
+                    garbled += 1
+                elif len(val) > 5 and _GARBLED_SPECIAL.search(val):
+                    garbled += 1
+            if checked >= cap:
+                break
+        if checked >= cap:
+            break
+    if checked > 0 and garbled / checked > 0.1:
+        issues.append(f"Garbled text detected ({garbled}/{checked} cells)")
+
+    return issues
+
+
 def table_quality_issues(df: pd.DataFrame) -> list[str]:
     """Return the list of quality-issue descriptions for one table.
 

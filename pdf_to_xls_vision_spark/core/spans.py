@@ -80,6 +80,75 @@ def general_notes(df: pd.DataFrame) -> list[str]:
     return notes
 
 
+def grid_rollup_rows(header: list, rows: list) -> int:
+    """Grid-form :func:`count_rollup_rows` (cells are ``str | None``;
+    ``pd.notna`` reduces to ``is not None``)."""
+    if not rows or not header:
+        return 0
+    if "Row_Type" in header:
+        j = header.index("Row_Type")
+        return sum(
+            1
+            for r in rows
+            if r[j] is not None and str(r[j]).strip().upper() == "ROLLUP"
+        )
+    return sum(
+        1
+        for r in rows
+        if r[0] is not None
+        and any(m in str(r[0]).lower().strip() for m in ROLLUP_FALLBACK_MARKERS)
+    )
+
+
+def grid_notes(header: list, rows: list) -> list[str]:
+    """Grid-form :func:`general_notes`."""
+    if "Notes" not in header or "Row_Type" not in header:
+        return []
+    jn, jr = header.index("Notes"), header.index("Row_Type")
+    return [
+        cell_text(r[jn])
+        for r in rows
+        if r[jn] is not None
+        and r[jr] is not None
+        and str(r[jr]).strip().upper() == "HEADER"
+    ]
+
+
+def serialize_grid_spans(tables) -> list[dict]:
+    """Grid-form :func:`serialize_spans` over ``GridRecord`` values —
+    same emit order (per-table: start, header cells, row-major cells,
+    end; trailing notes), no pandas in the loop."""
+    spans: list[dict] = []
+    order = 0
+
+    def emit(kind: str, text: str, media_ref: str) -> None:
+        nonlocal order
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": media_ref, "order": order}
+        )
+        order += 1
+
+    all_notes: list[str] = []
+    for rec in tables:
+        ref = rec.media_ref or ""
+        all_notes.extend(grid_notes(rec.header, rec.rows))
+        emit(
+            "table_start",
+            f"{rec.page}:{rec.table_id}:{len(rec.rows)}x{len(rec.header)}",
+            ref,
+        )
+        for col in rec.header:
+            emit("header_cell", cell_text(col), ref)
+        for row in rec.rows:
+            for value in row:
+                emit("cell", cell_text(value), ref)
+        emit("table_end", "", ref)
+
+    for note in all_notes:
+        emit("note", note, "")
+    return spans
+
+
 def serialize_spans(tables: list[TableRecord]) -> list[dict]:
     """Emit the document's ordered output span sequence (FIXTURES.md §4)."""
     spans: list[dict] = []

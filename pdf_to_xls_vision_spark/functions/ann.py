@@ -112,6 +112,48 @@ def topk_cosine(
     )
 
 
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member
+    over vectors): all (a < b) pairs in the same coarse cell whose
+    quantized cosine >= ``threshold``.
+
+    Cell bucketing (IVF assignment; k-means at scale) replaces the
+    all-pairs cross join exactly like LSH bands do for MinHash — the
+    join shuffles on the cell key and AQE splits hot cells. The cosine
+    is computed from integer-quantized components, so numerator and
+    norms are exact integers; one sqrt + one divide in IEEE double is
+    then bit-identical across engines (values < 2^53), keeping the
+    DuckDB oracle exact.
+    """
+    sides = embeddings.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("vid"),
+        _qvec(F.col(vec_col)).alias("qv"),
+    ).withColumn("n2", _qdot(F.col("qv"), F.col("qv")))
+    a, b = sides.alias("a"), sides.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+        (
+            _qdot(F.col("a.qv"), F.col("b.qv"))
+            / F.sqrt((F.col("a.n2") * F.col("b.n2")).cast("double"))
+        ).alias("cos_raw"),
+    )
+    return (
+        pairs.filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine_q"))
+    )
+
+
 def topk_ivf(
     embeddings: DataFrame,
     probes: DataFrame,

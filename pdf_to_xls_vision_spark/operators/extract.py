@@ -27,9 +27,12 @@ import pandas as pd
 import json
 
 from pdf_to_xls_vision_spark.core.cleaning import clean_vision_frame
-from pdf_to_xls_vision_spark.core.layout import parse_text_page_payload
+from pdf_to_xls_vision_spark.core.layout import parse_text_page_grids
 from pdf_to_xls_vision_spark.core.numbers import extract_numbers
-from pdf_to_xls_vision_spark.core.quality import table_quality_issues
+from pdf_to_xls_vision_spark.core.quality import (
+    grid_quality_issues,
+    table_quality_issues,
+)
 from pdf_to_xls_vision_spark.core.vision import (
     VisionBackend,
     correct_rotation,
@@ -110,9 +113,16 @@ def extract_text_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             out.append(_sentinel(doc_id, page, 0, extract_numbers(_page_text(kind, text))))
             if kind != "text":
                 continue
-            for t_idx, df in enumerate(parse_text_page_payload(text), start=1):
-                issues = table_quality_issues(df)
-                out.append(_table_row(doc_id, page, t_idx, "", df, issues))
+            # list-form kernels: the grid is already str|None cells, so
+            # no pandas frame is built on this (the hot) path — see
+            # core/layout.prune_grid for the measured rationale.
+            for t_idx, (header, rows) in enumerate(
+                parse_text_page_grids(text), start=1
+            ):
+                issues = grid_quality_issues(header, rows)
+                out.append(
+                    [doc_id, page, t_idx, "", header, rows, issues, 0, True, []]
+                )
         yield pd.DataFrame(out, columns=_COLS)
 
 

@@ -24,11 +24,11 @@ from pyspark.storagelevel import StorageLevel
 
 import pandas as pd
 
-from pdf_to_xls_vision_spark.core.merge import TableRecord, merge_continuations
+from pdf_to_xls_vision_spark.core.merge import GridRecord, merge_grid_continuations
 from pdf_to_xls_vision_spark.core.spans import (
-    count_rollup_rows,
-    general_notes,
-    serialize_spans,
+    grid_notes,
+    grid_rollup_rows,
+    serialize_grid_spans,
 )
 from pdf_to_xls_vision_spark.operators.classify import route_expr
 from pdf_to_xls_vision_spark.operators.extract import (
@@ -48,7 +48,7 @@ RESULT_SCHEMA = (
 )
 
 
-def _doc_validation(page_number_lists, frames) -> dict:
+def _doc_validation(page_number_lists, grids) -> dict:
     """X4-X6 per document (validation.py:151-229): fold both number
     multisets on the float-or-raw key, compare counts over the key
     union, count matches = sum(min), accuracy = matches/pdf_total*100.
@@ -59,7 +59,7 @@ def _doc_validation(page_number_lists, frames) -> dict:
     from collections import Counter
 
     from pdf_to_xls_vision_spark.core.numbers import (
-        extract_numbers_from_frame,
+        extract_numbers_from_grid,
         number_key,
     )
 
@@ -76,8 +76,10 @@ def _doc_validation(page_number_lists, frames) -> dict:
         }
     pdf_counts = Counter(number_key(t) for t in pdf_tokens)
     table_counts: Counter = Counter()
-    for df in frames:
-        table_counts.update(number_key(t) for t in extract_numbers_from_frame(df))
+    for header, rows in grids:
+        table_counts.update(
+            number_key(t) for t in extract_numbers_from_grid(header, rows)
+        )
 
     keys = set(pdf_counts) | set(table_counts)
     matches = sum(min(pdf_counts[k], table_counts[k]) for k in keys)
@@ -108,24 +110,22 @@ def _merge_and_serialize(pdf: pd.DataFrame) -> pd.DataFrame:
     tables = pdf[pdf["is_table"]].sort_values(["page", "table_id"])
     records = []
     for row in tables.itertuples(index=False):
-        frame = pd.DataFrame(
-            [list(r) for r in row.rows], columns=[c for c in row.header]
-        )
         records.append(
-            TableRecord(
-                frame=frame,
+            GridRecord(
+                header=list(row.header),
+                rows=[list(r) for r in row.rows],
                 page=int(row.page),
                 table_id=int(row.table_id),
                 media_ref=row.media_ref,
             )
         )
-    merged = merge_continuations(records)
-    spans = serialize_spans(merged)
-    rollups = sum(count_rollup_rows(r.frame) for r in merged)
-    notes = sum(len(general_notes(r.frame)) for r in merged)
+    merged = merge_grid_continuations(records)
+    spans = serialize_grid_spans(merged)
+    rollups = sum(grid_rollup_rows(r.header, r.rows) for r in merged)
+    notes = sum(len(grid_notes(r.header, r.rows)) for r in merged)
     validation = _doc_validation(
         [list(pn) for pn in sentinels["page_numbers"]],
-        [r.frame for r in merged],
+        [(r.header, r.rows) for r in merged],
     )
     return pd.DataFrame(
         [

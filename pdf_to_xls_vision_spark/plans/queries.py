@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pdf_to_xls_vision_spark.core.numbers import NUMBER_PATTERN
-from pdf_to_xls_vision_spark.functions.ann import topk_dot_quantized, topk_ivf
+from pdf_to_xls_vision_spark.functions.ann import (
+    embedding_near_dups,
+    topk_dot_quantized,
+    topk_ivf,
+)
 from pdf_to_xls_vision_spark.functions.dedup import (
     exact_duplicates,
     jaccard_pairs,
@@ -691,6 +695,41 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# The synthetic embeddings are random near-orthogonal unit vectors
+# (max in-cell cosine ~0.47), so the demo threshold sits where the
+# operator produces real pairs; production near-dup uses 0.9+.
+NEAR_DUP_THRESHOLD = 0.35
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within IVF cells (dedup family)."""
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH sides AS (
+  SELECT label AS cell, vec_id AS vid,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS qv
+  FROM embeddings
+),
+normed AS (
+  SELECT cell, vid, qv,
+         list_sum([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)])::BIGINT AS n2
+  FROM sides
+),
+pairs AS (
+  SELECT a.vid AS vec_a, b.vid AS vec_b,
+         list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)])::BIGINT
+           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos_raw
+  FROM normed a JOIN normed b ON a.cell = b.cell AND a.vid < b.vid
+)
+SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine_q
+FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -968,6 +1007,7 @@ QUERIES = {
     "dedup_jaccard_neighbors": q_jaccard_neighbors,
     "ann_topk_brute": q_ann_brute_force,
     "ann_topk_ivf": q_ann_ivf,
+    "dedup_embedding_cosine": q_embedding_near_dups,
     "text_token_stats": q_token_stats,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
@@ -1002,6 +1042,7 @@ ORACLES = {
     "dedup_jaccard_neighbors": SQL_JACCARD_NEIGHBORS,
     "ann_topk_brute": SQL_ANN_BRUTE,
     "ann_topk_ivf": SQL_ANN_IVF,
+    "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "text_token_stats": SQL_TOKEN_STATS,
     "text_lang_id": SQL_LANG_ID,
     "text_quality_score": SQL_QUALITY_SCORE,

@@ -115,58 +115,118 @@ def write_checkpointed(
                 f"simulated failure before group {g_idx} (committed {committed})"
             )
         chunk = bucketed.filter(F.col("bucket").isin(group))
-        # 1) data: dynamic overwrite replaces exactly these bucket dirs
-        (
-            chunk.write.format("parquet")
-            .mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .save(_spans_dir(out_dir))
-        )
-        # 2) manifest: metrics + lineage appended only after data landed;
-        #    a crash between (1) and (2) leaves the bucket uncommitted and
-        #    the rerun's overwrite is idempotent.
-        now = int(time.time())
-        metrics = (
-            chunk.groupBy("bucket")
-            .agg(
-                F.count("*").alias("docs"),
-                F.sum("pages_parsed").alias("pages_parsed"),
-                F.sum("n_tables").alias("tables_found"),
-                F.sum("rotation_corrections").alias("rotation_corrections"),
-                F.sum("quality_retried").alias("quality_retries"),
-                F.round(
-                    F.avg(
-                        F.when(
-                            F.col("validation_status") == "completed",
-                            F.col("accuracy_pct"),
-                        )
-                    ),
-                    2,
-                ).alias("accuracy_pct"),
-            )
-            .withColumn(
-                "lineage",
-                F.struct(
-                    F.lit(input_snapshot).alias("input_snapshot"),
-                    F.lit(attempt).alias("attempt"),
-                    F.lit(now).alias("committed_at_ts"),
+        _commit_group(chunk, group, out_dir, input_snapshot, attempt)
+        committed.extend(group)
+
+    return {"committed": committed, "skipped": sorted(already), "attempt": attempt}
+
+
+def _commit_group(
+    chunk: DataFrame,
+    group: list[int],
+    out_dir: str,
+    input_snapshot: str,
+    attempt: int,
+) -> None:
+    """Commit one bucket group: data (atomic per-bucket dynamic
+    overwrite) then manifest (append). A crash between the two leaves
+    the bucket uncommitted and the rerun's overwrite is idempotent."""
+    spark = chunk.sparkSession
+    (
+        chunk.write.format("parquet")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .save(_spans_dir(out_dir))
+    )
+    now = int(time.time())
+    metrics = (
+        chunk.groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("pages_parsed").alias("pages_parsed"),
+            F.sum("n_tables").alias("tables_found"),
+            F.sum("rotation_corrections").alias("rotation_corrections"),
+            F.sum("quality_retried").alias("quality_retries"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("validation_status") == "completed",
+                        F.col("accuracy_pct"),
+                    )
                 ),
-            )
+                2,
+            ).alias("accuracy_pct"),
         )
-        # buckets with zero docs still need a manifest row to count as done
-        present = {r.bucket for r in metrics.select("bucket").collect()}
-        missing = [b for b in group if b not in present]
-        if missing:
-            empty = spark.createDataFrame(
-                [
-                    (b, 0, 0, 0, 0, 0, None, (input_snapshot, attempt, now))
-                    for b in missing
-                ],
-                MANIFEST_SCHEMA,
+        .withColumn(
+            "lineage",
+            F.struct(
+                F.lit(input_snapshot).alias("input_snapshot"),
+                F.lit(attempt).alias("attempt"),
+                F.lit(now).alias("committed_at_ts"),
+            ),
+        )
+    )
+    # buckets with zero docs still need a manifest row to count as done
+    present = {r.bucket for r in metrics.select("bucket").collect()}
+    missing = [b for b in group if b not in present]
+    if missing:
+        empty = spark.createDataFrame(
+            [
+                (b, 0, 0, 0, 0, 0, None, (input_snapshot, attempt, now))
+                for b in missing
+            ],
+            MANIFEST_SCHEMA,
+        )
+        metrics = metrics.unionByName(empty)
+    metrics.write.format("parquet").mode("append").save(_manifest_dir(out_dir))
+
+
+def run_checkpointed_extraction(
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    commit_group_size: int | None = None,
+    input_snapshot: str = "",
+    force_vision: bool = False,
+    backend=None,
+    fail_after_groups: int | None = None,
+) -> dict:
+    """Resume-pruned checkpointed extraction: bucket the INPUT docs and
+    extract one commit group at a time.
+
+    Unlike ``write_checkpointed`` (which filters the *extracted*
+    relation — the bucket predicate sits above the pandas UDFs, so a
+    resume still re-extracts committed documents and discards them),
+    this filters the input scan, so a resume after a crash pays zero
+    extraction work for committed buckets. On a real Iceberg corpus
+    partitioned by ``bucket(doc_id)`` the same predicate prunes
+    manifests/files at the source (partition pruning); on plain parquet
+    it prunes every UDF/shuffle stage, which is where the cost lives.
+    """
+    from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
+
+    spark = docs.sparkSession
+    already = committed_buckets(spark, out_dir)
+    attempt = _next_attempt(spark, out_dir)
+    todo = sorted(set(range(n_buckets)) - already)
+    if not todo:
+        return {"committed": [], "skipped": sorted(already), "attempt": attempt}
+
+    bucketed_docs = with_bucket(docs, n_buckets)
+    group_size = commit_group_size or len(todo)
+    groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+
+    committed: list[int] = []
+    for g_idx, group in enumerate(groups):
+        if fail_after_groups is not None and g_idx >= fail_after_groups:
+            raise CheckpointAbort(
+                f"simulated failure before group {g_idx} (committed {committed})"
             )
-            metrics = metrics.unionByName(empty)
-        metrics.write.format("parquet").mode("append").save(_manifest_dir(out_dir))
+        sub = bucketed_docs.filter(F.col("bucket").isin(group)).drop("bucket")
+        result = run_extraction(sub, force_vision=force_vision, backend=backend)
+        chunk = with_bucket(result, n_buckets)
+        _commit_group(chunk, group, out_dir, input_snapshot, attempt)
         committed.extend(group)
 
     return {"committed": committed, "skipped": sorted(already), "attempt": attempt}

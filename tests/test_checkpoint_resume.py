@@ -105,3 +105,38 @@ def test_doc_validation_metrics(result_df):
     assert cont.validation_status == "completed"
     assert cont.pdf_numbers > 0
     assert cont.accuracy_pct > 0
+
+
+def test_input_pruned_resume_matches_full_run(spark, tiny_corpus_path, result_df, tmp_path):
+    """run_checkpointed_extraction: kill-and-rerun with the bucket
+    filter on the INPUT scan produces the identical committed table."""
+    from pdf_to_xls_vision_spark.sink.checkpoint import run_checkpointed_extraction
+
+    docs = spark.read.parquet(tiny_corpus_path)
+    crash_dir = str(tmp_path / "crash_pruned")
+    clean_dir = str(tmp_path / "clean_pruned")
+
+    run_checkpointed_extraction(docs, clean_dir, n_buckets=N_BUCKETS)
+
+    with pytest.raises(CheckpointAbort):
+        run_checkpointed_extraction(
+            docs,
+            crash_dir,
+            n_buckets=N_BUCKETS,
+            commit_group_size=2,
+            fail_after_groups=2,
+        )
+    partial = committed_buckets(spark, crash_dir)
+    assert len(partial) == 4
+
+    out = run_checkpointed_extraction(docs, crash_dir, n_buckets=N_BUCKETS)
+    assert set(out["skipped"]) == partial
+    assert set(out["committed"]) == set(range(N_BUCKETS)) - partial
+
+    assert _span_set(read_committed(spark, crash_dir)) == _span_set(
+        read_committed(spark, clean_dir)
+    )
+    # and the pruned-input path agrees with the result-level writer
+    assert _span_set(read_committed(spark, clean_dir)) == _span_set(result_df.select(
+        "doc_id", "spans"
+    ))
