@@ -104,9 +104,20 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     band_rows: int = LSH_BAND_ROWS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket on the banded sub-signature, and
-    self-join within buckets -> distinct candidate pairs (a < b)."""
+    self-join within buckets -> distinct candidate pairs (a < b).
+
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join. A bucket holding k docs emits k^2/2 pairs — a single
+    degenerate bucket (boilerplate, empty docs, tiny shared vocab) is
+    quadratic at corpus scale and carries no dedup signal ("everything
+    matches everything"); production LSH pipelines cap it and route
+    giant buckets to a cluster-representative pass instead. The
+    sf0.1 documents table demonstrates the failure: one bucket holds
+    78% of docs -> 7.7M pairs. Uncapped (None) keeps exact oracle
+    parity for the driver check."""
     banded = signatures.withColumn("band", (F.col("seed") / band_rows).cast("int"))
     # band sub-signature built from (seed, minhash) pairs sorted by seed —
     # collect_list alone has no deterministic order across partitions
@@ -124,6 +135,15 @@ def lsh_candidate_pairs(
             ).alias("sig")
         )
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "sig")
+        buckets = (
+            buckets.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -549,6 +549,39 @@ FROM bands a JOIN bands b
 """
 
 
+LSH_BUCKET_CAP = 256
+
+
+def q_lsh_pairs_capped(spark, sf_dir):
+    """LSH candidates with the production bucket cap: degenerate
+    buckets (k docs -> k^2/2 pairs, no dedup signal) are dropped
+    before the self-join — the skew guard that keeps LSH linear-ish
+    at corpus scale."""
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs, band_rows=4, max_bucket_size=LSH_BUCKET_CAP)
+
+
+SQL_LSH_PAIRS_CAPPED = f"""
+WITH {{mins}},
+bands AS (
+  SELECT doc_id, 0 AS band,
+         m0::VARCHAR || ',' || m1::VARCHAR || ',' || m2::VARCHAR || ',' || m3::VARCHAR AS sig
+  FROM mins
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         m4::VARCHAR || ',' || m5::VARCHAR || ',' || m6::VARCHAR || ',' || m7::VARCHAR AS sig
+  FROM mins
+),
+kept AS (
+  SELECT doc_id, band, sig FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
@@ -1003,6 +1036,7 @@ QUERIES = {
     "dedup_exact": q_exact_dedup,
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_pairs": q_lsh_pairs,
+    "dedup_lsh_pairs_capped": q_lsh_pairs_capped,
     "dedup_simhash": q_simhash,
     "dedup_jaccard_neighbors": q_jaccard_neighbors,
     "ann_topk_brute": q_ann_brute_force,
@@ -1038,6 +1072,7 @@ ORACLES = {
     "dedup_exact": SQL_EXACT_DEDUP,
     "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "dedup_lsh_pairs": SQL_LSH_PAIRS,
+    "dedup_lsh_pairs_capped": SQL_LSH_PAIRS_CAPPED.format(mins=_minhash_mins_sql()),
     "dedup_simhash": SQL_SIMHASH,
     "dedup_jaccard_neighbors": SQL_JACCARD_NEIGHBORS,
     "ann_topk_brute": SQL_ANN_BRUTE,

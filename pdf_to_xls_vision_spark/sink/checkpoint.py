@@ -60,8 +60,20 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
+def _local_missing(path: str) -> bool:
+    """True when ``path`` is a local filesystem path that doesn't exist
+    — avoids an expected-but-noisy AnalysisException (py4j logs the
+    stack trace to stderr) on the first run against a fresh out_dir.
+    Non-local URIs (s3://, hdfs://) fall through to the read attempt."""
+    if "://" in path and not path.startswith("file://"):
+        return False
+    return not os.path.exists(path.removeprefix("file://"))
+
+
 def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     path = _manifest_dir(out_dir)
+    if _local_missing(path):
+        return set()
     try:
         rows = spark.read.parquet(path).select("bucket").distinct().collect()
     except Exception:
@@ -70,6 +82,8 @@ def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
 
 
 def _next_attempt(spark: SparkSession, out_dir: str) -> int:
+    if _local_missing(_manifest_dir(out_dir)):
+        return 1
     try:
         row = (
             spark.read.parquet(_manifest_dir(out_dir))
