@@ -178,6 +178,38 @@ def is_cleanable(df: pd.DataFrame) -> bool:
     )
 
 
+def grid_cleanable(header: list) -> bool:
+    """Grid mirror of :func:`is_cleanable`: CSV frames always have a
+    unique RangeIndex and single-level axes, so the only live condition
+    is column-name uniqueness (read_csv mangles duplicates, but a
+    malformed fallback parse can still produce them)."""
+    return len(set(header)) == len(header)
+
+
+def clean_vision_grid_rows(header: list, rows: list) -> list:
+    """Grid-form :func:`clean_vision_frame` over stringified cells.
+
+    Safe to run post-stringification: every cleaning rule keys on
+    parenthesis/percent patterns that digit-only strings (the
+    stringified numeric cells read_csv inferred) can never match, so
+    stringify-then-clean == clean-then-stringify cell-for-cell. Order
+    fixed by the reference: cascade fixpoint, '%(' strip, per-cell
+    repair (table_extraction.py:172-179; data_cleaning.py:165-171).
+    """
+    if len(header) >= 2:
+        for r in rows:
+            cascade_row(r)
+    out = []
+    for r in rows:
+        out.append(
+            [
+                repair_cell(_strip_pct_artifact(v)) if v is not None else None
+                for v in r
+            ]
+        )
+    return out
+
+
 def clean_vision_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Full vision-path cleaning: cascade fixpoint, then per-cell repair
     (order fixed by table_extraction.py:172-179). Uncleanable frames

@@ -26,7 +26,10 @@ import pandas as pd
 
 import json
 
-from pdf_to_xls_vision_spark.core.cleaning import clean_vision_frame
+from pdf_to_xls_vision_spark.core.cleaning import (
+    clean_vision_grid_rows,
+    grid_cleanable,
+)
 from pdf_to_xls_vision_spark.core.layout import parse_text_page_grids
 from pdf_to_xls_vision_spark.core.numbers import extract_numbers
 from pdf_to_xls_vision_spark.core.quality import (
@@ -170,10 +173,18 @@ def make_vision_extractor(backend: VisionBackend | None = None):
                 df = df.dropna(how="all").dropna(axis=1, how="all")
                 if df.empty:
                     continue
-                df = clean_vision_frame(df)
-                if df.empty or len(df) == 0:
+                # stringify once, then clean on the grid (cleaning rules
+                # are identity on digit-only strings, so this matches
+                # clean-then-stringify; uncleanable frames pass dirty,
+                # mirroring the reference's exception swallow)
+                header, rows = _frame_payload(df)
+                if grid_cleanable(header):
+                    rows = clean_vision_grid_rows(header, rows)
+                if not rows:
                     continue
-                out.append(_table_row(doc_id, page, 1, ref, df, []))
+                out.append(
+                    [doc_id, page, 1, ref, header, rows, [], 0, True, []]
+                )
             yield pd.DataFrame(out, columns=_COLS)
 
     return extract_vision_pages

@@ -128,3 +128,34 @@ def test_quality_thresholds_parity():
             header,
             rows[:3],
         )
+
+
+def test_vision_cleaning_parity():
+    """Stringify-then-grid-clean must equal clean-then-stringify on the
+    stub vision responses (incl. fence/malformed/cascade variants)."""
+    from pdf_to_xls_vision_spark.core.cleaning import (
+        clean_vision_frame,
+        clean_vision_grid_rows,
+        grid_cleanable,
+        is_cleanable,
+    )
+    from pdf_to_xls_vision_spark.core.vision import VisionBackend, parse_vision_csv
+
+    backend = VisionBackend()
+    refs = [f"img://doc-{i:08d}/{p}" for i in range(150) for p in (1, 2)]
+    tables = 0
+    for csv in backend.infer_batch(refs):
+        df = parse_vision_csv(csv)
+        if df is None:
+            continue
+        df = df.dropna(how="all").dropna(axis=1, how="all")
+        if df.empty:
+            continue
+        header, rows = _frame_to_grid(df)
+        assert grid_cleanable(header) == is_cleanable(df)
+        new = clean_vision_grid_rows(header, rows) if grid_cleanable(header) else rows
+        old_h, old_r = _frame_to_grid(clean_vision_frame(df.copy()))
+        assert old_h == header
+        assert old_r == new
+        tables += 1
+    assert tables > 100
