@@ -1,0 +1,66 @@
+"""Structured Streaming ingest: exactly-once pickup of arriving files,
+output parity with the batch pipeline, and restart-without-reprocess."""
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from pdf_to_xls_vision_spark.corpus import corpus_to_arrow, generate_corpus
+from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
+from pdf_to_xls_vision_spark.streaming.ingest import (
+    read_stream_committed,
+    stream_extraction,
+)
+
+N_BUCKETS = 8
+
+
+def _span_set(df):
+    rows = df.select("doc_id", F.explode_outer("spans").alias("s")).collect()
+    return {
+        (r.doc_id, None if r.s is None else (r.s.kind, r.s.text, r.s.media_ref, r.s.order))
+        for r in rows
+    }
+
+
+def test_stream_matches_batch_and_resumes(spark, tiny_corpus, tmp_path):
+    docs = generate_corpus(24)
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    # two files land "first", one arrives later
+    pq.write_table(corpus_to_arrow(docs[:10]), f"{in_dir}/part-0.parquet")
+    pq.write_table(corpus_to_arrow(docs[10:20]), f"{in_dir}/part-1.parquet")
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_extraction(
+        spark, in_dir, out_dir, ckpt, n_buckets=N_BUCKETS, available_now=True
+    )
+    q.awaitTermination(600)
+    first = read_stream_committed(spark, out_dir)
+    assert first.select("doc_id").distinct().count() == 20
+
+    # batch parity on the same input
+    batch = run_extraction(
+        spark.read.parquet(in_dir).select("doc_id", "spans")
+    ).select("doc_id", "spans")
+    assert _span_set(first.select("doc_id", "spans")) == _span_set(batch)
+
+    # late file arrives; restart from the same checkpoint
+    pq.write_table(corpus_to_arrow(docs[20:]), f"{in_dir}/part-2.parquet")
+    q2 = stream_extraction(
+        spark, in_dir, out_dir, ckpt, n_buckets=N_BUCKETS, available_now=True
+    )
+    q2.awaitTermination(600)
+
+    final = read_stream_committed(spark, out_dir)
+    assert final.select("doc_id").distinct().count() == len(docs)
+    # exactly-once: every doc appears once, and the first 20 docs kept
+    # their original batch rows (no reprocessing of seen files)
+    assert final.count() == len(docs)
+    batches_per_doc = (
+        final.groupBy("doc_id").agg(F.countDistinct("ingest_batch").alias("n"))
+    )
+    assert batches_per_doc.filter(F.col("n") > 1).count() == 0
