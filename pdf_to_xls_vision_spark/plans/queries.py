@@ -867,6 +867,72 @@ SELECT doc_id, {h60_sql('text', 'fp')} AS fingerprint FROM documents
 
 
 # ---------------------------------------------------------------------------
+# HTML boilerplate strip / main content (north-rule parenthetical)
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = '<html><body><nav><a href="/">Home</a> | <a href="/r">Reports</a></nav><p>'
+_HTML_POST = '</p><footer>&copy; corp &amp; co</footer></body></html>'
+
+
+def q_html_strip_tags(spark, sf_dir):
+    """Tag-strip roundtrip: wrap each document's text in deterministic
+    boilerplate markup, then strip — both engines build and strip the
+    identical HTML, so the oracle is exact (JVM regexp chain vs DuckDB
+    RE2 chain)."""
+    from pdf_to_xls_vision_spark.functions.html import strip_tags_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select(
+        "doc_id", strip_tags_expr(html).alias("plain_text")
+    )
+
+
+def _sql_html_strip() -> str:
+    from pdf_to_xls_vision_spark.functions.html import strip_tags_sql
+
+    html_expr = f"concat('{_HTML_PRE.replace(chr(39), chr(39)*2)}', text, '{_HTML_POST.replace(chr(39), chr(39)*2)}')"
+    return f"SELECT doc_id, {strip_tags_sql(html_expr)} AS plain_text FROM documents"
+
+
+SQL_HTML_STRIP_TAGS = _sql_html_strip()
+
+_HTML_CORPUS_PATH: list[str] = []
+
+
+def q_html_main_content(spark, sf_dir):
+    """Block-density boilerplate removal over the deterministic HTML
+    corpus (rows-only check; pytest asserts golden equality)."""
+    import os
+    import tempfile
+
+    from pdf_to_xls_vision_spark.functions.html import (
+        extract_main_content,
+        synthesize_html,
+    )
+
+    if not _HTML_CORPUS_PATH:
+        path = os.path.join(tempfile.gettempdir(), "ptxv_html_corpus.parquet")
+        if not os.path.exists(path):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            docs = synthesize_html(512)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": [d["doc_id"] for d in docs],
+                        "html": [d["html"] for d in docs],
+                    }
+                ),
+                path,
+            )
+        _HTML_CORPUS_PATH.append(path)
+    html_docs = spark.read.parquet(_HTML_CORPUS_PATH[0])
+    return extract_main_content(html_docs)
+
+
+# ---------------------------------------------------------------------------
 # relational breadth: aggregation + multi-join (bench headliners)
 # ---------------------------------------------------------------------------
 
@@ -1046,6 +1112,7 @@ QUERIES = {
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_fingerprint": q_fingerprint,
+    "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
     "join_nation_revenue": q_nation_revenue,
     # non-SQL-expressible (rows-only driver check; pytest covers parity)
@@ -1053,6 +1120,7 @@ QUERIES = {
     "extraction_metrics": q_extraction_metrics,
     "multimodal_media_features": q_media_features,
     "text_winnow_fingerprints": q_winnow_fingerprints,
+    "html_main_content": q_html_main_content,
 }
 
 ORACLES = {
@@ -1082,6 +1150,7 @@ ORACLES = {
     "text_lang_id": SQL_LANG_ID,
     "text_quality_score": SQL_QUALITY_SCORE,
     "text_fingerprint": SQL_FINGERPRINT,
+    "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "agg_pricing_summary": SQL_PRICING_SUMMARY,
     "join_nation_revenue": SQL_NATION_REVENUE,
 }
