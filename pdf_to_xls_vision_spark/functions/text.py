@@ -33,6 +33,23 @@ def token_count_expr(text_col: str | Column) -> Column:
     return F.size(F.filter(F.split(c, " "), lambda t: t != ""))
 
 
+#: GPT-2-family pretokenizer, lookahead-free so the same pattern runs
+#: in Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+#: letter runs, digit runs, punctuation runs, residual whitespace.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count_expr(text_col: str | Column) -> Column:
+    """BPE-ish token count: matches of the pretokenizer pattern whose
+    text is not pure whitespace (whitespace runs merge into the next
+    token in real BPE; counting them would overstate length)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.regexp_extract_all(c, F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+    return F.size(F.filter(toks, lambda t: F.trim(t) != ""))
+
+
 def lang_scores(text_col: str | Column) -> dict[str, Column]:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.lower(c), " ")

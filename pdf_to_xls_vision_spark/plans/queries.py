@@ -35,6 +35,8 @@ from pdf_to_xls_vision_spark.functions.dedup import (
 )
 from pdf_to_xls_vision_spark.functions.hashing import h60_sql
 from pdf_to_xls_vision_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
+    bpe_token_count_expr,
     lang_id_expr,
     lang_scores,
     quality_score_expr,
@@ -789,6 +791,26 @@ FROM t GROUP BY lang
 """
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish token counting (regex pretokenizer) next to whitespace
+    counts — the length signal a tokenizer-budgeted pipeline filters on."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").alias("ws_tokens"),
+        bpe_token_count_expr("text").alias("bpe_tokens"),
+    )
+
+
+SQL_BPE_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+       len(list_filter(regexp_extract_all(text, '{BPE_TOKEN_PATTERN.replace(chr(39), chr(39) * 2)}'),
+                       x -> trim(x) <> '')) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     scores = lang_scores("text")
@@ -1109,6 +1131,7 @@ QUERIES = {
     "ann_topk_ivf": q_ann_ivf,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "text_token_stats": q_token_stats,
+    "text_bpe_tokens": q_bpe_token_stats,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "text_fingerprint": q_fingerprint,
@@ -1147,6 +1170,7 @@ ORACLES = {
     "ann_topk_ivf": SQL_ANN_IVF,
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "text_token_stats": SQL_TOKEN_STATS,
+    "text_bpe_tokens": SQL_BPE_TOKEN_STATS,
     "text_lang_id": SQL_LANG_ID,
     "text_quality_score": SQL_QUALITY_SCORE,
     "text_fingerprint": SQL_FINGERPRINT,
