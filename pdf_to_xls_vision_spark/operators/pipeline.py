@@ -174,10 +174,21 @@ def run_extraction(
     """The full extraction pipeline; returns the result relation
     ``(doc_id, spans, …metrics)``.
 
-    ``page_partitions`` sizes the round-robin repartition of the page
-    relation — the explicit skew handler (a 1000-page doc spreads over
-    the cluster instead of pinning one task; AQE cannot see inside UDF
-    compute, SURVEY.md §4.2). Defaults to 2x default parallelism.
+    **Why every page shuffles** (SURVEY.md §4.2 — AQE cannot see UDF
+    compute skew, so the leveling is ours): the round-robin
+    ``repartition`` does two jobs at once. (1) Skew: a 1000-page doc
+    spreads over the cluster instead of pinning one task. (2)
+    Parallelism decoupling: the parse stage is CPU-bound, so a
+    byte-sized input split (128 MB of compressed payloads = tens of
+    thousands of pages) is far too coarse a unit of work. A selective
+    variant that shuffled only heavy-tail docs (``size(spans) >
+    skew_threshold``) and parsed small docs in their scan partitions
+    was measured 25-50% SLOWER on the skewed corpus: the no-shuffle
+    branch collapsed onto the input's few byte-balanced splits and ran
+    the parse near-serial. At the 100 TB design point the same holds —
+    the page shuffle is one pass over the corpus and buys a
+    fully-level, core-sized work distribution for the expensive stage;
+    revisit only if the input is pre-bucketed into core-sized files.
 
     ``persist_pages``: the retry pass (R2) re-reads the text pages of
     low-quality docs; locally we persist the page relation
