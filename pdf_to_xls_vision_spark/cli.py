@@ -85,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.no_resume:
         shutil.rmtree(args.output, ignore_errors=True)
 
+    from pyspark.sql import SparkSession
+
+    # only stop the session on exit if this invocation created it —
+    # embedded callers (tests, notebooks) keep theirs alive
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("pdf_to_xls_vision_spark.cli", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     try:
@@ -133,7 +138,8 @@ def main(argv: list[str] | None = None) -> int:
         print("interrupted", file=sys.stderr)
         return 1
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":
