@@ -18,7 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full extraction of the deterministic span corpus,
-    returned as exploded (doc_id, kind, text, media_ref, ord) rows."""
+    returned as exploded (doc_id, kind, text, media_ref, ord) rows.
+
+    The extraction pipeline's input is the north-rule span-document
+    shape (BASELINE.json input_hint: ``doc_id, spans array<struct<
+    kind,text,media_ref,offset>>``), which the driver's TPC-H-ish
+    tables do not carry — per the brief it is synthesised
+    deterministically (corpus.py, seed 42) rather than read from
+    sf0.001. The sf-dir-driven queries live in ``queries()``; 30 of
+    them run directly over /root/testdata tables with DuckDB oracles.
+    """
     from pdf_to_xls_vision_spark.plans.queries import q_extraction_spans
 
     return q_extraction_spans(spark, "/root/testdata/sf0.001")

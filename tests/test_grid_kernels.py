@@ -159,3 +159,48 @@ def test_vision_cleaning_parity():
         assert old_r == new
         tables += 1
     assert tables > 100
+
+
+# ---------------------------------------------------------------------------
+# adversarial parity (hypothesis): random grids, not just corpus shapes
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.text(alphabet="ab1,.()% $\x01é", max_size=8),
+)
+
+
+@st.composite
+def _grids(draw):
+    n_cols = draw(st.integers(1, 5))
+    n_rows = draw(st.integers(1, 24))
+    header = [
+        draw(st.sampled_from(["Row_Type", "Category", "Notes", "A", "B", "C1"]))
+        + str(j)
+        for j in range(n_cols)
+    ]
+    rows = [
+        [draw(_cell) for _ in range(n_cols)] for _ in range(n_rows)
+    ]
+    return header, rows
+
+
+@settings(max_examples=120, deadline=None)
+@given(_grids())
+def test_quality_parity_random_grids(grid):
+    header, rows = grid
+    df = pd.DataFrame(rows, columns=header)
+    assert grid_quality_issues(header, rows) == table_quality_issues(df)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_grids())
+def test_rollup_numbers_parity_random_grids(grid):
+    header, rows = grid
+    df = pd.DataFrame(rows, columns=header)
+    assert grid_rollup_rows(header, rows) == count_rollup_rows(df)
+    assert extract_numbers_from_grid(header, rows) == extract_numbers_from_frame(df)
