@@ -996,6 +996,75 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_pricing_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP over the pricing summary — subtotal + grand-total
+    rows in one pass (partial-aggregate friendly; no reference
+    counterpart, SURVEY.md §2.12, included for relational breadth)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "count_order",
+        )
+    )
+
+
+SQL_PRICING_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: parts used by lineitems INTERSECT / EXCEPT the
+    part catalog halves (the reference's only set op is X5's key union;
+    these cover the rest of the family)."""
+    # the quantity filter keeps BOTH branches non-empty at every SF
+    # (unfiltered, every part is used and EXCEPT degenerates to empty)
+    used = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        F.col("l_partkey").alias("partkey")
+    )
+    low = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") < 1200).select(
+        F.col("p_partkey").alias("partkey")
+    )
+    inter = used.intersect(low).withColumn("op", F.lit("used_and_cheap"))
+    diff = low.exceptAll(low.intersect(used)).withColumn(
+        "op", F.lit("cheap_never_used")
+    )
+    return inter.unionByName(diff).groupBy("op").agg(
+        F.count("*").alias("n_parts"),
+        F.min("partkey").alias("min_partkey"),
+        F.max("partkey").alias("max_partkey"),
+    )
+
+
+SQL_SET_OPS = """
+WITH used AS (SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 45),
+low AS (SELECT p_partkey AS partkey FROM part WHERE p_retailprice < 1200),
+inter AS (SELECT partkey FROM used INTERSECT SELECT partkey FROM low),
+diff AS (SELECT partkey FROM low EXCEPT SELECT partkey FROM inter),
+tagged AS (
+  SELECT partkey, 'used_and_cheap' AS op FROM inter
+  UNION ALL
+  SELECT partkey, 'cheap_never_used' AS op FROM diff
+)
+SELECT op, count(*) AS n_parts,
+       min(partkey) AS min_partkey, max(partkey) AS max_partkey
+FROM tagged GROUP BY op
+"""
+
+
 def q_nation_revenue(spark, sf_dir):
     """Broadcast-dimension multi-join: revenue per nation (customer and
     nation are broadcast; only lineitem-orders shuffles)."""
@@ -1137,6 +1206,8 @@ QUERIES = {
     "text_fingerprint": q_fingerprint,
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
+    "agg_pricing_rollup": q_pricing_rollup,
+    "setop_part_usage": q_set_ops,
     "join_nation_revenue": q_nation_revenue,
     # non-SQL-expressible (rows-only driver check; pytest covers parity)
     "extraction_spans": q_extraction_spans,
@@ -1176,5 +1247,7 @@ ORACLES = {
     "text_fingerprint": SQL_FINGERPRINT,
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "agg_pricing_summary": SQL_PRICING_SUMMARY,
+    "agg_pricing_rollup": SQL_PRICING_ROLLUP,
+    "setop_part_usage": SQL_SET_OPS,
     "join_nation_revenue": SQL_NATION_REVENUE,
 }
