@@ -85,6 +85,107 @@ def media_features(
     return media.select(ref_col).distinct().mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_ref string, src_width int, src_height int, "
+    "width int, height int, scale double, mean_ink double"
+)
+
+
+def resize_media(
+    media: DataFrame,
+    max_dim: int = 64,
+    ref_col: str = "media_ref",
+    decoder: MediaDecoder | None = None,
+) -> DataFrame:
+    """Downscale every media payload so max(width, height) <= max_dim.
+
+    The resample is integer-index nearest-neighbor (pure numpy —
+    deterministic, no codec dependency); aspect ratio is preserved and
+    already-small images pass through at scale 1.0. This is the
+    distributed shape of the reference's under-the-API-cap resize
+    (image_processing.py:15-83, whose 0.9/sqrt + x0.85 ladder lives in
+    core/vision.resize_plan); a production decoder swaps in LANCZOS
+    without touching the plan.
+    """
+    decoder = decoder or MediaDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for ref in b[ref_col]:
+                img = decoder.decode(ref)
+                h, w = img.shape
+                scale = min(1.0, max_dim / max(h, w))
+                nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+                ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+                xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+                small = img[np.ix_(ys, xs)]
+                rows.append(
+                    {
+                        "media_ref": ref,
+                        "src_width": int(w),
+                        "src_height": int(h),
+                        "width": int(nw),
+                        "height": int(nh),
+                        "scale": round(float(scale), 6),
+                        "mean_ink": float(small.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(ref_col).distinct().mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "media_ref string, frame_idx int, n_frames int, "
+    "width int, height int, mean_ink double"
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    k: int = 4,
+    ref_col: str = "media_ref",
+    decoder: MediaDecoder | None = None,
+) -> DataFrame:
+    """Uniform frame sampling for video-like media: pick ``k`` evenly
+    spaced frame indices from each ref's frame count and decode only
+    those (the decode seam receives ``ref#f{idx}``). Frame counts come
+    from the payload metadata — here derived deterministically from the
+    ref (8-24 frames) the way a container header would supply them.
+    Emits one row per sampled frame; never materializes the full video.
+    """
+    decoder = decoder or MediaDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for b in batches:
+            rows = []
+            for ref in b[ref_col]:
+                digest = hashlib.sha256(str(ref).encode()).digest()
+                n_frames = 8 + digest[0] % 17
+                take = min(k, n_frames)
+                idxs = sorted(
+                    {int(i * n_frames / take) for i in range(take)}
+                )
+                for idx in idxs:
+                    frame = decoder.decode(f"{ref}#f{idx}")
+                    rows.append(
+                        {
+                            "media_ref": ref,
+                            "frame_idx": idx,
+                            "n_frames": n_frames,
+                            "width": int(frame.shape[1]),
+                            "height": int(frame.shape[0]),
+                            "mean_ink": float(frame.mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select(ref_col).distinct().mapInPandas(run, FRAME_SCHEMA)
+
+
 def corpus_media_refs(docs: DataFrame) -> DataFrame:
     """All media refs of a span corpus (image spans only)."""
     return (

@@ -1164,6 +1164,26 @@ def q_media_features(spark, sf_dir):
     return media_features(corpus_media_refs(_corpus_df(spark)))
 
 
+def q_media_resize(spark, sf_dir):
+    from pdf_to_xls_vision_spark.functions.multimodal import (
+        corpus_media_refs,
+        resize_media,
+    )
+
+    # stub rasters are 32x32: max_dim=16 makes every image actually
+    # downscale (max_dim above source size exercises only the pass-through)
+    return resize_media(corpus_media_refs(_corpus_df(spark)), max_dim=16)
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from pdf_to_xls_vision_spark.functions.multimodal import (
+        corpus_media_refs,
+        sample_frames,
+    )
+
+    return sample_frames(corpus_media_refs(_corpus_df(spark)), k=4)
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.text import winnow_fingerprints
 
@@ -1213,6 +1233,8 @@ QUERIES = {
     "extraction_spans": q_extraction_spans,
     "extraction_metrics": q_extraction_metrics,
     "multimodal_media_features": q_media_features,
+    "multimodal_resize": q_media_resize,
+    "multimodal_frame_sample": q_media_frame_sample,
     "text_winnow_fingerprints": q_winnow_fingerprints,
     "html_main_content": q_html_main_content,
 }

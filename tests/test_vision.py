@@ -117,3 +117,36 @@ def test_stub_vision_frame_cleanable():
                 if pd.notna(v) and isinstance(v, str):
                     assert ")(" not in v, (i, col, v)
     assert found > 0
+
+
+def test_resize_media_and_frame_sampling(spark, tiny_corpus_path):
+    """Multimodal resize + frame-sample plumbing over the corpus refs."""
+    from pdf_to_xls_vision_spark.functions.multimodal import (
+        corpus_media_refs,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(tiny_corpus_path)
+    refs = corpus_media_refs(docs)
+    n_refs = refs.count()
+    assert n_refs > 10
+
+    resized = resize_media(refs, max_dim=16).collect()
+    assert len(resized) == n_refs
+    for r in resized:
+        assert max(r.width, r.height) <= 16
+        assert 0 < r.scale < 1.0  # 32x32 sources: the resample path runs
+        # aspect preserved within 1px rounding
+        assert abs(r.width / r.src_width - r.height / r.src_height) < 0.05
+        assert 0 <= r.mean_ink <= 255
+
+    frames = sample_frames(refs, k=4)
+    per_ref = frames.groupBy("media_ref").count().collect()
+    assert len(per_ref) == n_refs
+    assert all(1 <= row["count"] <= 4 for row in per_ref)
+    sample = frames.limit(5).collect()
+    for f in sample:
+        assert 0 <= f.frame_idx < f.n_frames
+        assert 8 <= f.n_frames <= 24
+        assert f.width > 0 and f.height > 0
