@@ -57,11 +57,27 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _tokens(
+    docs: DataFrame, id_col: str, text_col: str, shingle: int = 1
+) -> DataFrame:
+    """Token relation; ``shingle`` > 1 emits space-joined word n-grams
+    (the MinHash/Jaccard shingling unit). Built entirely from array
+    expressions — the shingling never leaves the JVM."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    if shingle <= 1:
+        grams = words
+    else:
+        # guard: F.sequence(1, 0) would produce a DESCENDING [1, 0]
+        grams = F.when(
+            F.size(words) >= shingle,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (shingle - 1)),
+                lambda i: F.array_join(F.slice(words, i, shingle), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("token"),
-    ).filter(F.col("token") != "")
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("token")
+    )
 
 
 def minhash_signatures(
@@ -189,11 +205,12 @@ def jaccard_pairs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingle: int = 1,
 ) -> DataFrame:
-    """Exact unigram Jaccard for candidate pairs ``(doc_a, doc_b)`` —
-    distinct-token intersection over union, via two semi-structured
+    """Exact n-gram Jaccard for candidate pairs ``(doc_a, doc_b)`` —
+    distinct-shingle intersection over union, via two semi-structured
     joins (never materializes token sets on the driver)."""
-    toks = _tokens(docs, id_col, text_col).distinct()
+    toks = _tokens(docs, id_col, text_col, shingle=shingle).distinct()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "token")

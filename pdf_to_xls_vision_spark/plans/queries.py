@@ -627,6 +627,52 @@ def q_jaccard_neighbors(spark, sf_dir):
     return jaccard_pairs(docs, pairs)
 
 
+def q_jaccard_bigram(spark, sf_dir):
+    """n-gram (bigram) Jaccard on the same consecutive-id candidate
+    pairs — the shingled variant of dedup_jaccard_neighbors."""
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return jaccard_pairs(docs, pairs, shingle=2)
+
+
+SQL_JACCARD_BIGRAM = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+toks2 AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS token
+  FROM words WHERE len(w) >= 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN toks2 ta ON ta.doc_id = p.doc_a
+  JOIN toks2 tb ON tb.doc_id = p.doc_b AND tb.token = ta.token
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       coalesce(i.n_inter, 0) AS n_inter,
+       sa.n + sb.n - coalesce(i.n_inter, 0) AS n_union,
+       round(coalesce(i.n_inter, 0) / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 SQL_JACCARD_NEIGHBORS = """
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
@@ -1216,6 +1262,7 @@ QUERIES = {
     "dedup_lsh_pairs_capped": q_lsh_pairs_capped,
     "dedup_simhash": q_simhash,
     "dedup_jaccard_neighbors": q_jaccard_neighbors,
+    "dedup_jaccard_bigram": q_jaccard_bigram,
     "ann_topk_brute": q_ann_brute_force,
     "ann_topk_ivf": q_ann_ivf,
     "dedup_embedding_cosine": q_embedding_near_dups,
@@ -1259,6 +1306,7 @@ ORACLES = {
     "dedup_lsh_pairs_capped": SQL_LSH_PAIRS_CAPPED.format(mins=_minhash_mins_sql()),
     "dedup_simhash": SQL_SIMHASH,
     "dedup_jaccard_neighbors": SQL_JACCARD_NEIGHBORS,
+    "dedup_jaccard_bigram": SQL_JACCARD_BIGRAM,
     "ann_topk_brute": SQL_ANN_BRUTE,
     "ann_topk_ivf": SQL_ANN_IVF,
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
