@@ -224,7 +224,7 @@ SQL_GARBLED_SHARE = r"""
 SELECT lang,
        count(*) AS n_docs,
        sum(CASE WHEN regexp_matches(text, '[^\w\s$,.%()\-''/]{3,}')
-                THEN 1 ELSE 0 END) AS n_garbled
+                THEN 1 ELSE 0 END)::BIGINT AS n_garbled
 FROM documents GROUP BY lang
 """
 
@@ -340,11 +340,11 @@ j AS (
   SELECT coalesce(src.cnt, 0) AS pdf_count, coalesce(ext.cnt, 0) AS table_count
   FROM src FULL OUTER JOIN ext ON src.k = ext.k
 )
-SELECT sum(pdf_count) AS total_pdf_numbers,
-       sum(table_count) AS total_table_numbers,
-       sum(least(pdf_count, table_count)) AS matches,
-       sum(CASE WHEN table_count < pdf_count THEN 1 ELSE 0 END) AS n_missing,
-       sum(CASE WHEN table_count > pdf_count THEN 1 ELSE 0 END) AS n_extra,
+SELECT sum(pdf_count)::BIGINT AS total_pdf_numbers,
+       sum(table_count)::BIGINT AS total_table_numbers,
+       sum(least(pdf_count, table_count))::BIGINT AS matches,
+       sum(CASE WHEN table_count < pdf_count THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+       sum(CASE WHEN table_count > pdf_count THEN 1 ELSE 0 END)::BIGINT AS n_extra,
        round(sum(least(pdf_count, table_count))
              / CAST(sum(pdf_count) AS DOUBLE) * 100, 2) AS accuracy_percent
 FROM j
@@ -358,8 +358,15 @@ FROM j
 def q_sessionize(spark, sf_dir):
     """M1's window+segment composition: per-user sessions split on
     >30-minute gaps; value sums integer-quantized for exactness."""
+    # ts is TIMESTAMP_NTZ: derive epoch from wall-clock fields so the
+    # result is session-timezone-independent (unix_timestamp() would
+    # re-interpret the naive value under the driver session tz).
     ev = _t(spark, sf_dir, "events").withColumn(
-        "epoch", F.unix_timestamp("ts")
+        "epoch",
+        F.unix_date(F.col("ts").cast("date")).cast("long") * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gapped = ev.withColumn(
@@ -386,7 +393,7 @@ WITH lagged AS (
 ),
 seg AS (
   SELECT user_id, event_id, ts, value,
-         sum(new_seg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS segment
+         sum(new_seg) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS segment
   FROM lagged
 )
 SELECT user_id, segment,
@@ -422,7 +429,7 @@ SELECT lang, count(*) AS n_docs,
                  OR instr(lower(text), 'effective') > 0
                  OR instr(lower(text), 'net operating income') > 0
                  OR instr(lower(text), 'noi') > 0
-            THEN 1 ELSE 0 END) AS n_rollup_docs
+            THEN 1 ELSE 0 END)::BIGINT AS n_rollup_docs
 FROM documents GROUP BY lang
 """
 
@@ -831,7 +838,7 @@ WITH t AS (
          len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
   FROM documents
 )
-SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
        min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
 FROM t GROUP BY lang
 """

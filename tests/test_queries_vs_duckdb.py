@@ -81,3 +81,23 @@ def test_rows_only_queries_run(spark):
         df = QUERIES[name](spark, SF_DIR)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_sessionize_timezone_independent(spark, ddb):
+    """m1_sessionize_window must not depend on the driver session tz:
+    epoch is derived from the NTZ wall-clock fields, not unix_timestamp.
+    Re-run the full DuckDB comparison under America/New_York."""
+    from pdf_to_xls_vision_spark.plans.queries import ORACLES, QUERIES
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        sdf = QUERIES["m1_sessionize_window"](spark, SF_DIR)
+        s_rows = [tuple(r) for r in sdf.collect()]
+        cur = ddb.execute(ORACLES["m1_sessionize_window"])
+        d_rows = cur.fetchall()
+        assert _rowset(sdf.columns, s_rows) == _rowset(
+            [c[0] for c in cur.description], d_rows
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
