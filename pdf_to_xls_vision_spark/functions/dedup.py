@@ -29,6 +29,11 @@ from pdf_to_xls_vision_spark.functions.hashing import h60
 MINHASH_SEEDS = 8
 LSH_BAND_ROWS = 2  # 8 seeds / 2 rows -> 4 bands
 
+#: Production default for LSH bucket capping: a bucket of k docs emits
+#: k^2/2 candidate pairs, so one degenerate bucket (boilerplate/empty
+#: docs) goes quadratic at corpus scale while carrying no dedup signal.
+LSH_MAX_BUCKET = 256
+
 #: Mersenne prime 2^31-1: affine products of reduced hashes stay under
 #: 2^62, so the arithmetic is exact in int64 on both Spark and DuckDB.
 MINHASH_P = (1 << 31) - 1
@@ -120,7 +125,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     band_rows: int = LSH_BAND_ROWS,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature, bucket on the banded sub-signature, and
     self-join within buckets -> distinct candidate pairs (a < b).
@@ -132,8 +137,9 @@ def lsh_candidate_pairs(
     matches everything"); production LSH pipelines cap it and route
     giant buckets to a cluster-representative pass instead. The
     sf0.1 documents table demonstrates the failure: one bucket holds
-    78% of docs -> 7.7M pairs. Uncapped (None) keeps exact oracle
-    parity for the driver check."""
+    78% of docs -> 7.7M pairs. The cap is the DEFAULT; pass
+    ``max_bucket_size=None`` explicitly to opt into the uncapped
+    quadratic path (exact oracle-parity checks only)."""
     banded = signatures.withColumn("band", (F.col("seed") / band_rows).cast("int"))
     # band sub-signature built from (seed, minhash) pairs sorted by seed —
     # collect_list alone has no deterministic order across partitions

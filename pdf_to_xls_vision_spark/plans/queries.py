@@ -537,8 +537,10 @@ FROM mins
 
 
 def q_lsh_pairs(spark, sf_dir):
+    """Uncapped parity variant — max_bucket_size=None opts OUT of the
+    production bucket cap so the oracle sees identical pairs."""
     sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
-    return lsh_candidate_pairs(sigs, band_rows=4)
+    return lsh_candidate_pairs(sigs, band_rows=4, max_bucket_size=None)
 
 
 SQL_LSH_PAIRS = f"""
@@ -972,38 +974,26 @@ def _sql_html_strip() -> str:
 
 SQL_HTML_STRIP_TAGS = _sql_html_strip()
 
-_HTML_CORPUS_PATH: list[str] = []
-
-
 def q_html_main_content(spark, sf_dir):
     """Block-density boilerplate removal over the deterministic HTML
-    corpus (rows-only check; pytest asserts golden equality)."""
-    import os
-    import tempfile
+    corpus, built in-memory via Arrow (no filesystem side effects in
+    the query builder — the corpus is 512 small docs)."""
+    import pyarrow as pa
 
     from pdf_to_xls_vision_spark.functions.html import (
         extract_main_content,
         synthesize_html,
     )
 
-    if not _HTML_CORPUS_PATH:
-        path = os.path.join(tempfile.gettempdir(), "ptxv_html_corpus.parquet")
-        if not os.path.exists(path):
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            docs = synthesize_html(512)
-            pq.write_table(
-                pa.table(
-                    {
-                        "doc_id": [d["doc_id"] for d in docs],
-                        "html": [d["html"] for d in docs],
-                    }
-                ),
-                path,
-            )
-        _HTML_CORPUS_PATH.append(path)
-    html_docs = spark.read.parquet(_HTML_CORPUS_PATH[0])
+    docs = synthesize_html(512)
+    html_docs = spark.createDataFrame(
+        pa.table(
+            {
+                "doc_id": [d["doc_id"] for d in docs],
+                "html": [d["html"] for d in docs],
+            }
+        )
+    )
     return extract_main_content(html_docs)
 
 
@@ -1156,24 +1146,13 @@ GROUP BY n_name
 # rows-only checks; pytest covers exact correctness vs the oracle.
 # ---------------------------------------------------------------------------
 
-_CORPUS_CACHE: dict[str, str] = {}
-
-
 def _corpus_df(spark, n_docs: int = 64):
-    import os
-    import tempfile
+    """Deterministic interleaved-span corpus as an in-memory Arrow
+    relation — query builders stay side-effect-free (no /tmp parquet;
+    the bench harness materializes its own large corpora)."""
+    from pdf_to_xls_vision_spark.corpus import corpus_to_arrow, generate_corpus
 
-    from pdf_to_xls_vision_spark.corpus import write_corpus_parquet
-
-    key = f"n{n_docs}"
-    if key not in _CORPUS_CACHE:
-        path = os.path.join(
-            tempfile.gettempdir(), f"ptxv_corpus_{n_docs}.parquet"
-        )
-        if not os.path.exists(path):
-            write_corpus_parquet(path, n_docs)
-        _CORPUS_CACHE[key] = path
-    return spark.read.parquet(_CORPUS_CACHE[key])
+    return spark.createDataFrame(corpus_to_arrow(generate_corpus(n_docs)))
 
 
 def q_extraction_spans(spark, sf_dir):
