@@ -170,6 +170,7 @@ def run_extraction(
     backend: VisionBackend | None = None,
     page_partitions: int | None = None,
     persist_pages: bool = True,
+    persisted_sink: list | None = None,
 ) -> DataFrame:
     """The full extraction pipeline; returns the result relation
     ``(doc_id, spans, …metrics)``.
@@ -195,6 +196,13 @@ def run_extraction(
     (MEMORY_AND_DISK). At the 100 TB design point prefer
     ``persist_pages=False`` — recomputing from the columnar scan is
     cheaper than caching the corpus.
+
+    ``persisted_sink``: callers that invoke this repeatedly (the
+    checkpointed commit loop, streaming micro-batches) pass a list to
+    receive the persisted DataFrames and MUST unpersist them after the
+    result is materialized — disk-backed cached blocks are not
+    LRU-evicted, so leaking one per micro-batch grows local disk
+    without bound.
     """
     spark = docs.sparkSession
     n_parts = page_partitions or spark.sparkContext.defaultParallelism * 2
@@ -203,6 +211,8 @@ def run_extraction(
     pages = explode_pages(docs, force_vision).repartition(n_parts)
     if persist_pages:
         pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_sink is not None:
+            persisted_sink.append(pages)
 
     text_pages = pages.filter(F.col("route") == "text")
     vision_pages = pages.filter(F.col("route") == "vision")
@@ -214,6 +224,8 @@ def run_extraction(
         # single most expensive stage). At the 100 TB design point the
         # same flag disables it: recompute beats caching the corpus.
         text_ext = text_ext.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_sink is not None:
+            persisted_sink.append(text_ext)
 
     # R2 — document-level retry: any quality issue on any table, or zero
     # tables for the whole document (converter.py:117-132). Sentinel rows

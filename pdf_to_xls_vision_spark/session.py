@@ -24,6 +24,23 @@ from pyspark.sql import SparkSession
 ARROW_MAX_RECORDS = 2048
 
 
+def _default_driver_mem() -> str:
+    """Local-mode heap default: min(48g, ~40% of MemTotal). In local
+    mode the driver hosts every executor thread, and an undersized heap
+    (8g) GC-thrashes the UDF-heavy extraction stage ~10x; but a fixed
+    48g fails JVM startup on smaller boxes/CI, so derive from the
+    machine. SPARK_DRIVER_MEM always overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(1, min(48, int(total_gib * 0.4)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(
     app_name: str = "pdf_to_xls_vision_spark",
     master: str | None = None,
@@ -44,10 +61,10 @@ def get_spark(
         )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # local mode: driver == all executors, so size the heap for the
-        # whole 128 GiB box — an 8g heap GC-thrashes 10x slowdowns into
-        # the UDF-heavy extraction stage (measured: 105s -> 32s).
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -60,19 +60,26 @@ def with_bucket(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     )
 
 
-def _local_missing(path: str) -> bool:
-    """True when ``path`` is a local filesystem path that doesn't exist
-    — avoids an expected-but-noisy AnalysisException (py4j logs the
-    stack trace to stderr) on the first run against a fresh out_dir.
-    Non-local URIs (s3://, hdfs://) fall through to the read attempt."""
-    if "://" in path and not path.startswith("file://"):
+def _path_missing(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` does not exist on the filesystem Spark will
+    actually read — probed via the Hadoop FileSystem API, so a
+    scheme-less path resolves against ``fs.defaultFS`` (HDFS/S3A on a
+    cluster, local in tests) instead of assuming the driver's local
+    disk. Avoids an expected-but-noisy AnalysisException on the first
+    run against a fresh out_dir; on any probe error we report "not
+    missing" and fall through to the guarded read attempt."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return not fs.exists(jpath)
+    except Exception:
         return False
-    return not os.path.exists(path.removeprefix("file://"))
 
 
 def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     path = _manifest_dir(out_dir)
-    if _local_missing(path):
+    if _path_missing(spark, path):
         return set()
     try:
         rows = spark.read.parquet(path).select("bucket").distinct().collect()
@@ -82,7 +89,7 @@ def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
 
 
 def _next_attempt(spark: SparkSession, out_dir: str) -> int:
-    if _local_missing(_manifest_dir(out_dir)):
+    if _path_missing(spark, _manifest_dir(out_dir)):
         return 1
     try:
         row = (
@@ -238,9 +245,19 @@ def run_checkpointed_extraction(
                 f"simulated failure before group {g_idx} (committed {committed})"
             )
         sub = bucketed_docs.filter(F.col("bucket").isin(group)).drop("bucket")
-        result = run_extraction(sub, force_vision=force_vision, backend=backend)
+        persisted: list = []
+        result = run_extraction(
+            sub,
+            force_vision=force_vision,
+            backend=backend,
+            persisted_sink=persisted,
+        )
         chunk = with_bucket(result, n_buckets)
         _commit_group(chunk, group, out_dir, input_snapshot, attempt)
+        # each group's cache is consumed exactly once — release it so a
+        # many-group backfill doesn't accumulate disk-backed blocks
+        for df in persisted:
+            df.unpersist()
         committed.extend(group)
 
     return {"committed": committed, "skipped": sorted(already), "attempt": attempt}

@@ -57,7 +57,8 @@ def _commit_micro_batch(
     input_snapshot: str,
     backend=None,
 ) -> None:
-    result = run_extraction(batch_df, backend=backend)
+    persisted: list = []
+    result = run_extraction(batch_df, backend=backend, persisted_sink=persisted)
     chunk = with_bucket(result, n_buckets).withColumn(
         "ingest_batch", F.lit(batch_id).cast("long")
     )
@@ -86,7 +87,20 @@ def _commit_micro_batch(
             ),
         )
     )
-    metrics.write.format("parquet").mode("append").save(_manifest_dir(out_dir))
+    # dynamic overwrite on ingest_batch makes the manifest itself
+    # replay-idempotent: a micro-batch replayed after a failure between
+    # this write and the streaming-checkpoint commit REPLACES its own
+    # manifest partition instead of appending a duplicate row, so
+    # metric aggregations over the manifest never double-count.
+    (
+        metrics.write.format("parquet")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .save(_manifest_dir(out_dir))
+    )
+    for df in persisted:
+        df.unpersist()
 
 
 def stream_extraction(

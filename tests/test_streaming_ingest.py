@@ -64,3 +64,34 @@ def test_stream_matches_batch_and_resumes(spark, tiny_corpus, tmp_path):
         final.groupBy("doc_id").agg(F.countDistinct("ingest_batch").alias("n"))
     )
     assert batches_per_doc.filter(F.col("n") > 1).count() == 0
+
+
+def test_replayed_micro_batch_manifest_idempotent(spark, tiny_corpus, tmp_path):
+    """A micro-batch replayed after a failure between the manifest write
+    and the streaming-checkpoint commit must not duplicate manifest rows
+    (metrics aggregations would double-count): commit the same batch_id
+    twice and check one manifest row per (ingest_batch, bucket)."""
+    import pyarrow.parquet as pq
+
+    from pdf_to_xls_vision_spark.corpus import corpus_to_arrow
+    from pdf_to_xls_vision_spark.streaming.ingest import (
+        _commit_micro_batch,
+        _manifest_dir,
+        read_stream_committed,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    import os
+
+    os.makedirs(in_dir)
+    pq.write_table(corpus_to_arrow(tiny_corpus[:10]), f"{in_dir}/part-1.parquet")
+    batch = spark.read.parquet(in_dir).select("doc_id", "spans")
+
+    _commit_micro_batch(batch, 7, out_dir, 8, in_dir)
+    _commit_micro_batch(batch, 7, out_dir, 8, in_dir)  # the replay
+
+    man = spark.read.parquet(_manifest_dir(out_dir))
+    assert man.count() == man.select("ingest_batch", "bucket").distinct().count()
+    docs = read_stream_committed(spark, out_dir)
+    assert docs.count() == docs.select("doc_id").distinct().count() == 10
