@@ -593,6 +593,62 @@ FROM kept a JOIN kept b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution — the step a real 100 TB dedup run executes
+    after LSH: connected components (large-star/small-star, O(log n)
+    shuffle rounds) over the capped candidate pairs, then every doc
+    mapped to its canonical representative (min doc_id per cluster;
+    singletons map to themselves)."""
+    from pdf_to_xls_vision_spark.functions.cluster import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs, band_rows=4, max_bucket_size=LSH_BUCKET_CAP)
+    return dedup_clusters(docs, pairs)
+
+
+# DuckDB replays the closure with a recursive CTE: reach(node, label)
+# enumerates every (node, reachable-node) pair over the symmetrized
+# capped-LSH edges; min(label) per node is the component representative.
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE {mins},
+bands AS (
+  SELECT doc_id, 0 AS band,
+         m0::VARCHAR || ',' || m1::VARCHAR || ',' || m2::VARCHAR || ',' || m3::VARCHAR AS sig
+  FROM mins
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         m4::VARCHAR || ',' || m5::VARCHAR || ',' || m6::VARCHAR || ',' || m7::VARCHAR AS sig
+  FROM mins
+),
+kept AS (
+  SELECT doc_id, band, sig FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= {cap}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_rep,
+       CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
@@ -1246,6 +1302,7 @@ QUERIES = {
     "dedup_minhash_signatures": q_minhash_signatures,
     "dedup_lsh_pairs": q_lsh_pairs,
     "dedup_lsh_pairs_capped": q_lsh_pairs_capped,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_simhash,
     "dedup_jaccard_neighbors": q_jaccard_neighbors,
     "dedup_jaccard_bigram": q_jaccard_bigram,
@@ -1290,6 +1347,9 @@ ORACLES = {
     "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
     "dedup_lsh_pairs": SQL_LSH_PAIRS,
     "dedup_lsh_pairs_capped": SQL_LSH_PAIRS_CAPPED.format(mins=_minhash_mins_sql()),
+    "dedup_clusters": SQL_DEDUP_CLUSTERS.format(
+        mins=_minhash_mins_sql(), cap=LSH_BUCKET_CAP
+    ),
     "dedup_simhash": SQL_SIMHASH,
     "dedup_jaccard_neighbors": SQL_JACCARD_NEIGHBORS,
     "dedup_jaccard_bigram": SQL_JACCARD_BIGRAM,
