@@ -154,6 +154,147 @@ def embedding_near_dups(
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _dist_to_centroids(qv: Column, centroids: list[list[int]]) -> Column:
+    """Nearest-centroid cell for a quantized vector, ties to the lowest
+    cell index: array_min over (distance, cell) structs — lexicographic
+    struct ordering gives (min dist, then min cell)."""
+    entries = []
+    for cell, cent in enumerate(centroids):
+        c = F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
+        d = F.aggregate(
+            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.named_struct(
+                F.lit("dist"), d, F.lit("cell"), F.lit(cell).cast("int")
+            )
+        )
+    return F.array_min(F.array(*entries))["cell"]
+
+
+def _sqdist(qv: Column, cent: list[int]) -> Column:
+    c = F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
+    return F.aggregate(
+        F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _maximin_init(vecs: DataFrame, k: int) -> list[list[int]]:
+    """Deterministic farthest-point init: start from the min-id vector,
+    then repeatedly take the vector maximizing the distance to its
+    nearest chosen centroid (ties to the lowest id). Guarantees one
+    seed per well-separated cluster — min-id or random init can drop
+    all k seeds into one dense region. Each step is a top-1
+    (TakeOrdered) job, k-1 tiny jobs total."""
+    first = vecs.orderBy("vid").limit(1).collect()[0]
+    chosen = [list(first.qv)]
+    for _ in range(k - 1):
+        mind = F.least(*[_sqdist(F.col("qv"), c) for c in chosen]) if len(
+            chosen
+        ) > 1 else _sqdist(F.col("qv"), chosen[0])
+        nxt = (
+            vecs.select("vid", "qv", mind.alias("mind"))
+            .orderBy(F.col("mind").desc(), F.col("vid").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(list(nxt.qv))
+    return chosen
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Deterministic Lloyd's over integer-quantized vectors.
+
+    - init: farthest-point (maximin) from the min-id vector (no RNG);
+    - assignment: exact int64 squared-L2, ties to the lowest cell;
+    - update: per-dimension ``floor(sum / count)`` (exact — floor
+      division of int sums), empty cells keep their centroid.
+
+    Every step is integer-exact, so the DuckDB oracle replays training
+    bit-for-bit (plans/queries.py unrolls the same iterations in SQL).
+
+    Scale shape: assignment is a map-only scan against k*d broadcast
+    literals; the update is a (cell, dim) partial aggregate collecting
+    k*d longs to the driver — the same skeleton as Spark MLlib KMeans.
+    The returned centroids are tiny driver metadata, NOT data rows.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
+    ).persist()
+    try:
+        centroids = _maximin_init(vecs, k)
+        for _ in range(iterations):
+            cell = _dist_to_centroids(F.col("qv"), centroids).alias("cell")
+            sums = (
+                vecs.select(cell, F.posexplode("qv").alias("pos", "val"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            fresh: dict[int, dict[int, int]] = {}
+            for r in sums:
+                fresh.setdefault(r.cell, {})[r.pos] = int(r.s) // int(r.n)
+            centroids = [
+                [fresh[c][p] for p in range(len(centroids[c]))]
+                if c in fresh
+                else centroids[c]
+                for c in range(k)
+            ]
+        return centroids
+    finally:
+        vecs.unpersist()
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Tag each row with its nearest trained centroid (map-only)."""
+    return embeddings.withColumn(
+        cell_col, _dist_to_centroids(_qvec(F.col(vec_col)), centroids)
+    )
+
+
+def topk_ivf_kmeans(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_cells: int = KMEANS_K,
+    iterations: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over *trained* k-means cells — no pre-labeled column.
+
+    Trains coarse centroids once (driver metadata), assigns base and
+    probe sides map-only, then scores within the probe's cell exactly
+    like :func:`topk_ivf`. nprobe=1; raise recall by unioning the
+    next-nearest cells into the probe assignment if needed.
+    """
+    centroids = kmeans_train(
+        embeddings, k=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
+    )
+    base = assign_cells(embeddings, centroids, vec_col=vec_col)
+    q = assign_cells(probes, centroids, vec_col=vec_col)
+    return topk_ivf(base, q, k=k, id_col=id_col, vec_col=vec_col, cell_col="cell")
+
+
 def topk_ivf(
     embeddings: DataFrame,
     probes: DataFrame,

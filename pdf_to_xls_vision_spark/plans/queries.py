@@ -841,6 +841,144 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _kmeans_cte(k: int, iterations: int) -> str:
+    """Unrolled Lloyd's as a DuckDB CTE chain — the oracle replays
+    Spark's deterministic k-means (functions/ann.py:kmeans_train)
+    bit-for-bit: same farthest-point (maximin) init from the min-id
+    vector, same exact int64 squared-L2 with ties to the lowest cell,
+    same floor(sum/count) update with empty cells keeping their
+    centroid. Ends with ``asg_final`` (vid, qv, cell) and
+    ``cent{iterations}``."""
+    dist = (
+        "list_sum([(v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]) "
+        "FOR i IN range(1, len(v.qv) + 1)])"
+    )
+
+    def _d(to: str) -> str:
+        return (
+            f"list_sum([(v.qv[i] - {to}[i]) * (v.qv[i] - {to}[i]) "
+            "FOR i IN range(1, len(v.qv) + 1)])"
+        )
+
+    # farthest-point init: f0 = min-id vector; f_{j+1} maximizes the
+    # min distance to f_0..f_j (ties to the lowest id)
+    init = ["f0 AS MATERIALIZED (SELECT qv AS c0 FROM vecs ORDER BY vid LIMIT 1)"]
+    for j in range(1, k):
+        joins = " CROSS JOIN ".join(f"f{i}" for i in range(j))
+        dists = [_d(f"c{i}") for i in range(j)]
+        mind = dists[0] if j == 1 else f"least({', '.join(dists)})"
+        init.append(
+            f"""f{j} AS MATERIALIZED (
+  SELECT v.qv AS c{j} FROM vecs v CROSS JOIN {joins}
+  ORDER BY {mind} DESC, v.vid ASC LIMIT 1
+)"""
+        )
+    seeds = "\n  UNION ALL\n  ".join(
+        f"SELECT {j}::INT AS cell, c{j} AS cent FROM f{j}" for j in range(k)
+    )
+    init_sql = ",\n".join(init)
+    parts = [
+        f"""vecs AS MATERIALIZED (
+  SELECT vec_id AS vid,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS qv
+  FROM embeddings
+),
+{init_sql},
+cent0 AS MATERIALIZED (
+  {seeds}
+)"""
+    ]
+    for r in range(iterations):
+        parts.append(
+            f"""asg{r} AS MATERIALIZED (
+  SELECT vid, qv, cell FROM (
+    SELECT v.vid, v.qv, c.cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {dist}, c.cell) AS rn
+    FROM vecs v CROSS JOIN cent{r} c
+  ) WHERE rn = 1
+),
+sums{r} AS MATERIALIZED (
+  SELECT cell, pos, floor(sum(val)::DOUBLE / count(*))::BIGINT AS cm
+  FROM (SELECT cell, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
+        FROM asg{r})
+  GROUP BY cell, pos
+),
+cent{r + 1} AS MATERIALIZED (
+  SELECT cell, list(cm ORDER BY pos) AS cent FROM sums{r} GROUP BY cell
+  UNION ALL
+  SELECT c.cell, c.cent FROM cent{r} c
+  WHERE c.cell NOT IN (SELECT DISTINCT cell FROM sums{r})
+)"""
+        )
+    parts.append(
+        f"""asg_final AS MATERIALIZED (
+  SELECT vid, qv, cell FROM (
+    SELECT v.vid, v.qv, c.cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {dist}, c.cell) AS rn
+    FROM vecs v CROSS JOIN cent{iterations} c
+  ) WHERE rn = 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def q_kmeans_cells(spark, sf_dir):
+    """The k-means IVF *assignment* itself (no pre-labeled column):
+    train deterministic Lloyd's centroids, tag every vector with its
+    cell — directly oracle-checks the training."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        assign_cells,
+        kmeans_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+    return assign_cells(emb, centroids).select("vec_id", "cell")
+
+
+def _sql_kmeans_cells() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)}
+SELECT vid AS vec_id, cell FROM asg_final
+"""
+
+
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF top-k over trained k-means cells — the fully self-contained
+    scale path (topk_ivf consumes a pre-existing label; this trains)."""
+    from pdf_to_xls_vision_spark.functions.ann import topk_ivf_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return topk_ivf_kmeans(emb, probes, k=TOP_K)
+
+
+def _sql_ann_ivf_kmeans() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+scored AS (
+  SELECT q.vid AS query_id, b.vid AS nbr_id,
+         list_sum([q.qv[i] * b.qv[i] FOR i IN range(1, len(q.qv) + 1)])::BIGINT AS qdot
+  FROM asg_final q JOIN asg_final b USING (cell)
+  WHERE q.vid < {N_PROBES} AND q.vid <> b.vid
+),
+ranked AS (
+  SELECT query_id, nbr_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, nbr_id, qdot
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 # The synthetic embeddings are random near-orthogonal unit vectors
 # (max in-cell cosine ~0.47), so the demo threshold sits where the
 # operator produces real pairs; production near-dup uses 0.9+.
@@ -1308,6 +1446,8 @@ QUERIES = {
     "dedup_jaccard_bigram": q_jaccard_bigram,
     "ann_topk_brute": q_ann_brute_force,
     "ann_topk_ivf": q_ann_ivf,
+    "ann_kmeans_cells": q_kmeans_cells,
+    "ann_topk_ivf_kmeans": q_ann_ivf_kmeans,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "text_token_stats": q_token_stats,
     "text_bpe_tokens": q_bpe_token_stats,
@@ -1355,6 +1495,8 @@ ORACLES = {
     "dedup_jaccard_bigram": SQL_JACCARD_BIGRAM,
     "ann_topk_brute": SQL_ANN_BRUTE,
     "ann_topk_ivf": SQL_ANN_IVF,
+    "ann_kmeans_cells": _sql_kmeans_cells(),
+    "ann_topk_ivf_kmeans": _sql_ann_ivf_kmeans(),
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "text_token_stats": SQL_TOKEN_STATS,
     "text_bpe_tokens": SQL_BPE_TOKEN_STATS,

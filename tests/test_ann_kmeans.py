@@ -1,0 +1,87 @@
+"""Deterministic k-means IVF: training properties and assignment."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _blob_df(spark, k=3, per=20, dim=8, seed=7):
+    """k well-separated blobs: centers at 2*e_j, points jittered ±0.05."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    vid = 0
+    for j in range(k):
+        center = np.zeros(dim)
+        center[j] = 2.0
+        for _ in range(per):
+            v = center + rng.uniform(-0.05, 0.05, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    from pdf_to_xls_vision_spark.functions.ann import assign_cells, kmeans_train
+
+    df = _blob_df(spark)
+    cents = kmeans_train(df, k=3, iterations=4)
+    got = assign_cells(df, cents).select("vec_id", "cell").collect()
+    # every true blob lands in exactly one cell, and cells don't mix
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r.vec_id // 20, set()).add(r.cell)
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+
+
+def test_kmeans_deterministic(spark):
+    from pdf_to_xls_vision_spark.functions.ann import kmeans_train
+
+    df = _blob_df(spark, seed=11)
+    a = kmeans_train(df, k=3, iterations=3)
+    b = kmeans_train(df, k=3, iterations=3)
+    assert a == b
+
+
+def test_kmeans_empty_cell_keeps_centroid(spark):
+    """With k larger than the number of distinct points, surplus cells
+    must keep their init centroid instead of crashing or drifting."""
+    from pdf_to_xls_vision_spark.functions.ann import kmeans_train
+
+    rows = [(i, [1.0, 1.0]) for i in range(3)] + [(10 + i, [5.0, 5.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_train(df, k=4, iterations=3)
+    assert len(cents) == 4
+    # the two occupied cells converge to the two point masses
+    assert [1000, 1000] in cents and [5000, 5000] in cents
+
+
+def test_ivf_kmeans_topk_matches_in_cell_brute(spark):
+    """Within a cell, IVF ranking must equal brute force restricted to
+    that cell (the IVF approximation is only the cell restriction)."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        assign_cells,
+        kmeans_train,
+        topk_dot_quantized,
+        topk_ivf_kmeans,
+    )
+
+    df = _blob_df(spark, k=2, per=15, seed=3)
+    probes = df.filter(F.col("vec_id") < 3)
+    ivf = {
+        (r.query_id, r.rank): r.nbr_id
+        for r in topk_ivf_kmeans(df, probes, k=4, n_cells=2, iterations=3).collect()
+    }
+    cents = kmeans_train(df, k=2, iterations=3)
+    tagged = assign_cells(df, cents)
+    cell_of = {r.vec_id: r.cell for r in tagged.select("vec_id", "cell").collect()}
+    for q in range(3):
+        cell_members = tagged.filter(F.col("cell") == cell_of[q]).drop("cell")
+        brute = {
+            (r.query_id, r.rank): r.nbr_id
+            for r in topk_dot_quantized(
+                cell_members, cell_members.filter(F.col("vec_id") == q), k=4
+            ).collect()
+        }
+        for key, nbr in brute.items():
+            assert ivf[key] == nbr
