@@ -1355,7 +1355,9 @@ def q_extraction_spans(spark, sf_dir):
     from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
 
     res = run_extraction(_corpus_df(spark))
-    return res.select("doc_id", F.explode_outer("spans").alias("s")).select(
+    # plain explode (not outer): docs with zero spans emit no rows,
+    # matching the sequential oracle's empty-list-per-doc convention
+    return res.select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
@@ -1418,6 +1420,77 @@ def q_winnow_fingerprints(spark, sf_dir):
     return fps.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
 
+def q_bpe_merge_tokens(spark, sf_dir):
+    """True vocab-driven BPE counts: train the merge table on the
+    corpus word-frequency aggregate (deterministic), apply via an
+    Arrow-batched pandas UDF with per-batch memoization."""
+    from pdf_to_xls_vision_spark.functions.bpe import (
+        bpe_token_counts,
+        learn_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_merges(docs)
+    return bpe_token_counts(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# expected-parquet oracles for the non-SQL-expressible queries
+# (generated by scripts/gen_expected.py; provenance documented there)
+# ---------------------------------------------------------------------------
+
+_EXPECTED = "/root/repo/fixtures/expected"
+
+#: winnow/BPE expected rows depend on the documents table, which
+#: differs per SF: blocks are keyed by corpus_sig = sum(length(text)).
+_SIG = "(SELECT sum(length(text)) FROM documents)"
+
+SQL_EXTRACTION_SPANS = f"""
+SELECT doc_id, kind, text, media_ref, ord
+FROM read_parquet('{_EXPECTED}/extraction_spans.parquet')
+"""
+
+SQL_EXTRACTION_METRICS = f"""
+SELECT doc_id, n_tables, pages_parsed, rotation_corrections,
+       quality_retried, rollup_rows, n_notes, validation_status,
+       accuracy_pct
+FROM read_parquet('{_EXPECTED}/extraction_metrics.parquet')
+"""
+
+SQL_MEDIA_FEATURES = f"""
+SELECT media_ref, width, height, mean_ink, ink_bands,
+       detected_rotation, rotation_confidence
+FROM read_parquet('{_EXPECTED}/multimodal_media_features.parquet')
+"""
+
+SQL_MEDIA_RESIZE = f"""
+SELECT media_ref, src_width, src_height, width, height, scale, mean_ink
+FROM read_parquet('{_EXPECTED}/multimodal_resize.parquet')
+"""
+
+SQL_MEDIA_FRAME_SAMPLE = f"""
+SELECT media_ref, frame_idx, n_frames, width, height, mean_ink
+FROM read_parquet('{_EXPECTED}/multimodal_frame_sample.parquet')
+"""
+
+SQL_WINNOW_FINGERPRINTS = f"""
+SELECT doc_id, fingerprint
+FROM read_parquet('{_EXPECTED}/text_winnow_fingerprints.parquet')
+WHERE corpus_sig = {_SIG}
+"""
+
+SQL_HTML_MAIN_CONTENT = f"""
+SELECT doc_id, main_text, length(main_text)::INT AS n_chars
+FROM read_parquet('{_EXPECTED}/html_main_content.parquet')
+"""
+
+SQL_BPE_MERGE_TOKENS = f"""
+SELECT doc_id, bpe_tokens
+FROM read_parquet('{_EXPECTED}/text_bpe_merge_tokens.parquet')
+WHERE corpus_sig = {_SIG}
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1459,13 +1532,16 @@ QUERIES = {
     "agg_pricing_rollup": q_pricing_rollup,
     "setop_part_usage": q_set_ops,
     "join_nation_revenue": q_nation_revenue,
-    # non-SQL-expressible (rows-only driver check; pytest covers parity)
+    # non-SQL-expressible — oracled against materialized expected
+    # parquet (scripts/gen_expected.py documents each fixture's
+    # provenance: sequential oracle / sequential replay / snapshot)
     "extraction_spans": q_extraction_spans,
     "extraction_metrics": q_extraction_metrics,
     "multimodal_media_features": q_media_features,
     "multimodal_resize": q_media_resize,
     "multimodal_frame_sample": q_media_frame_sample,
     "text_winnow_fingerprints": q_winnow_fingerprints,
+    "text_bpe_merge_tokens": q_bpe_merge_tokens,
     "html_main_content": q_html_main_content,
 }
 
@@ -1508,4 +1584,12 @@ ORACLES = {
     "agg_pricing_rollup": SQL_PRICING_ROLLUP,
     "setop_part_usage": SQL_SET_OPS,
     "join_nation_revenue": SQL_NATION_REVENUE,
+    "extraction_spans": SQL_EXTRACTION_SPANS,
+    "extraction_metrics": SQL_EXTRACTION_METRICS,
+    "multimodal_media_features": SQL_MEDIA_FEATURES,
+    "multimodal_resize": SQL_MEDIA_RESIZE,
+    "multimodal_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
+    "text_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "text_bpe_merge_tokens": SQL_BPE_MERGE_TOKENS,
+    "html_main_content": SQL_HTML_MAIN_CONTENT,
 }

@@ -1,0 +1,324 @@
+"""Materialize expected outputs for the non-SQL-expressible driver
+queries, so every ``queries()`` entry gets a hard DuckDB oracle
+(``SELECT ... FROM read_parquet('<expected>')``) instead of a weak
+rows-only check.
+
+Provenance of each fixture (independence matters — say it honestly):
+
+- ``extraction_spans``      — the *independent sequential oracle*
+  (tests/oracle.py, hand-written from the reference's behavior) over
+  the deterministic 64-doc corpus. This is the strongest class.
+- ``multimodal_*``, ``text_winnow_fingerprints``, ``html_main_content``,
+  ``text_bpe_merge_tokens`` — *sequential pure-Python replays* of the
+  same deterministic kernels the pandas UDFs call (stub decoder,
+  winnowing, block-density extractor, BPE merge loop). These validate
+  the Spark-side plumbing (schema, batching, explode/distinct,
+  closure shipping), not the kernel itself — the kernels have their
+  own pytest goldens.
+- ``extraction_metrics``    — a *snapshot* of the engine's own metric
+  relation (the sequential oracle computes spans, not metrics). This
+  is a regression pin, the weakest class; span-level correctness is
+  covered by ``extraction_spans`` above.
+
+Deterministic by construction — regenerate with
+``PYTHONPATH=. python scripts/gen_expected.py`` and ``git diff`` must
+be empty (tests/test_expected_fixtures.py enforces staleness).
+
+The winnow/BPE fixtures depend on the input documents table, which
+differs per SF: rows carry ``corpus_sig = sum(length(text))`` and the
+oracle SQL selects the block matching the live ``documents`` view.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+EXPECTED_DIR = os.path.join(REPO, "fixtures", "expected")
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+# pin parquet layout so regeneration is byte-stable
+_PQ = dict(compression="zstd", store_schema=True)
+
+
+def _write(name: str, table: pa.Table) -> None:
+    os.makedirs(EXPECTED_DIR, exist_ok=True)
+    path = os.path.join(EXPECTED_DIR, f"{name}.parquet")
+    pq.write_table(table, path, **_PQ)
+    print(f"wrote {path} ({table.num_rows} rows)")
+
+
+def _docs_table(sf_dir: str):
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    doc_ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    sig = sum(len(x or "") for x in texts)
+    return doc_ids, texts, sig
+
+
+def gen_extraction_spans() -> None:
+    from oracle import oracle_corpus
+
+    from pdf_to_xls_vision_spark.corpus import generate_corpus
+
+    docs = generate_corpus(64)
+    golden = oracle_corpus(docs)
+    rows = {"doc_id": [], "kind": [], "text": [], "media_ref": [], "ord": []}
+    for doc_id, spans in golden.items():
+        for s in spans:
+            rows["doc_id"].append(doc_id)
+            rows["kind"].append(s["kind"])
+            rows["text"].append(s["text"])
+            rows["media_ref"].append(s["media_ref"])
+            rows["ord"].append(s["order"])
+    _write(
+        "extraction_spans",
+        pa.table(rows).cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("kind", pa.string()),
+                    ("text", pa.string()),
+                    ("media_ref", pa.string()),
+                    ("ord", pa.int32()),
+                ]
+            )
+        ),
+    )
+
+
+def _corpus_media_refs() -> list[str]:
+    from pdf_to_xls_vision_spark.corpus import generate_corpus
+
+    refs = set()
+    for _doc_id, spans in generate_corpus(64):
+        for s in spans:
+            if s["kind"] == "image":
+                refs.add(s["media_ref"])
+    return sorted(refs)
+
+
+def gen_multimodal() -> None:
+    from pdf_to_xls_vision_spark.core.vision import detect_rotation, stub_pixels
+
+    refs = _corpus_media_refs()
+
+    feat = {k: [] for k in (
+        "media_ref", "width", "height", "mean_ink", "ink_bands",
+        "detected_rotation", "rotation_confidence",
+    )}
+    for ref in refs:
+        img, _ = stub_pixels(ref)
+        rot, conf = detect_rotation(img)
+        row_means = img.mean(axis=1)
+        bands = int(((row_means[1:] > 100) & (row_means[:-1] <= 100)).sum())
+        feat["media_ref"].append(ref)
+        feat["width"].append(int(img.shape[1]))
+        feat["height"].append(int(img.shape[0]))
+        feat["mean_ink"].append(float(img.mean()))
+        feat["ink_bands"].append(bands)
+        feat["detected_rotation"].append(int(rot))
+        feat["rotation_confidence"].append(float(conf))
+    _write(
+        "multimodal_media_features",
+        pa.table(feat).cast(
+            pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("mean_ink", pa.float64()),
+                    ("ink_bands", pa.int32()),
+                    ("detected_rotation", pa.int32()),
+                    ("rotation_confidence", pa.float64()),
+                ]
+            )
+        ),
+    )
+
+    max_dim = 16  # q_media_resize uses max_dim=16
+    rz = {k: [] for k in (
+        "media_ref", "src_width", "src_height", "width", "height",
+        "scale", "mean_ink",
+    )}
+    for ref in refs:
+        img, _ = stub_pixels(ref)
+        h, w = img.shape
+        scale = min(1.0, max_dim / max(h, w))
+        nh, nw = max(int(h * scale), 1), max(int(w * scale), 1)
+        ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+        xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+        small = img[np.ix_(ys, xs)]
+        rz["media_ref"].append(ref)
+        rz["src_width"].append(int(w))
+        rz["src_height"].append(int(h))
+        rz["width"].append(int(nw))
+        rz["height"].append(int(nh))
+        rz["scale"].append(round(float(scale), 6))
+        rz["mean_ink"].append(float(small.mean()))
+    _write(
+        "multimodal_resize",
+        pa.table(rz).cast(
+            pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("src_width", pa.int32()),
+                    ("src_height", pa.int32()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("scale", pa.float64()),
+                    ("mean_ink", pa.float64()),
+                ]
+            )
+        ),
+    )
+
+    k = 4  # q_media_frame_sample uses k=4
+    fr = {key: [] for key in (
+        "media_ref", "frame_idx", "n_frames", "width", "height", "mean_ink",
+    )}
+    for ref in refs:
+        digest = hashlib.sha256(str(ref).encode()).digest()
+        n_frames = 8 + digest[0] % 17
+        take = min(k, n_frames)
+        idxs = sorted({int(i * n_frames / take) for i in range(take)})
+        for idx in idxs:
+            frame, _ = stub_pixels(f"{ref}#f{idx}")
+            fr["media_ref"].append(ref)
+            fr["frame_idx"].append(idx)
+            fr["n_frames"].append(n_frames)
+            fr["width"].append(int(frame.shape[1]))
+            fr["height"].append(int(frame.shape[0]))
+            fr["mean_ink"].append(float(frame.mean()))
+    _write(
+        "multimodal_frame_sample",
+        pa.table(fr).cast(
+            pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("frame_idx", pa.int32()),
+                    ("n_frames", pa.int32()),
+                    ("width", pa.int32()),
+                    ("height", pa.int32()),
+                    ("mean_ink", pa.float64()),
+                ]
+            )
+        ),
+    )
+
+
+def gen_winnow() -> None:
+    from pdf_to_xls_vision_spark.functions.text import _winnow
+
+    out = {"corpus_sig": [], "doc_id": [], "fingerprint": []}
+    for sf_dir in SF_DIRS:
+        doc_ids, texts, sig = _docs_table(sf_dir)
+        for doc_id, text in zip(doc_ids, texts):
+            for fp in _winnow(str(text or "").split()):
+                out["corpus_sig"].append(sig)
+                out["doc_id"].append(doc_id)
+                out["fingerprint"].append(fp)
+    _write(
+        "text_winnow_fingerprints",
+        pa.table(out).cast(
+            pa.schema(
+                [
+                    ("corpus_sig", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("fingerprint", pa.int64()),
+                ]
+            )
+        ),
+    )
+
+
+def gen_html_main_content() -> None:
+    from pdf_to_xls_vision_spark.functions.html import (
+        main_content_of,
+        synthesize_html,
+    )
+
+    docs = synthesize_html(512)
+    out = {
+        "doc_id": [d["doc_id"] for d in docs],
+        "main_text": [main_content_of(d["html"]) for d in docs],
+    }
+    _write(
+        "html_main_content",
+        pa.table(out).cast(
+            pa.schema([("doc_id", pa.string()), ("main_text", pa.string())])
+        ),
+    )
+
+
+def gen_bpe_merge_tokens() -> None:
+    from pdf_to_xls_vision_spark.functions.bpe import (
+        MAX_TRAIN_WORDS,
+        N_MERGES,
+        _PRETOKEN_RE,
+        encode_text,
+        learn_merges_from_freqs,
+    )
+
+    out = {"corpus_sig": [], "doc_id": [], "bpe_tokens": []}
+    for sf_dir in SF_DIRS:
+        doc_ids, texts, sig = _docs_table(sf_dir)
+        wf: dict[str, int] = {}
+        for text in texts:
+            for m in _PRETOKEN_RE.findall(str(text or "")):
+                if m.strip() != "":
+                    wf[m] = wf.get(m, 0) + 1
+        top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_TRAIN_WORDS]
+        merges = learn_merges_from_freqs(top, N_MERGES)
+        ranks = {p: i for i, p in enumerate(merges)}
+        cache: dict = {}
+        for doc_id, text in zip(doc_ids, texts):
+            out["corpus_sig"].append(sig)
+            out["doc_id"].append(doc_id)
+            out["bpe_tokens"].append(encode_text(str(text or ""), ranks, cache))
+    _write(
+        "text_bpe_merge_tokens",
+        pa.table(out).cast(
+            pa.schema(
+                [
+                    ("corpus_sig", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("bpe_tokens", pa.int32()),
+                ]
+            )
+        ),
+    )
+
+
+def gen_extraction_metrics() -> None:
+    """Spark snapshot (regression pin — see module docstring)."""
+    from pdf_to_xls_vision_spark.plans.queries import q_extraction_metrics
+    from pdf_to_xls_vision_spark.session import get_spark
+
+    spark = get_spark("gen-expected", master="local[8]", shuffle_partitions=8)
+    df = q_extraction_metrics(spark, SF_DIRS[0]).orderBy("doc_id")
+    pdf = df.toPandas()
+    _write("extraction_metrics", pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+def main() -> None:
+    gen_extraction_spans()
+    gen_multimodal()
+    gen_winnow()
+    gen_html_main_content()
+    gen_bpe_merge_tokens()
+    gen_extraction_metrics()
+
+
+if __name__ == "__main__":
+    main()
