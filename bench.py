@@ -37,7 +37,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # scaling corpus measured 420 docs/sec steady-state.
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 
-# Headline relational queries from the driver registry (plans/queries.py)
+# Headline relational queries from the driver registry (plans/queries.py).
+# dedup_lsh_pairs_capped is the production default (the uncapped
+# variant exists only for oracle parity and is quadratic on hot
+# buckets by design — not a representative number).
 HEADLINE = [
     "agg_pricing_summary",
     "join_nation_revenue",
@@ -46,11 +49,14 @@ HEADLINE = [
     "m1_sessionize_window",
     "dedup_exact",
     "dedup_minhash_signatures",
-    "dedup_lsh_pairs",
+    "dedup_lsh_pairs_capped",
+    "dedup_clusters",
     "dedup_simhash",
     "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
     "text_quality_score",
     "text_lang_id",
+    "text_bpe_merge_tokens",
 ]
 
 
@@ -104,6 +110,27 @@ def main() -> None:
             _run_best(lambda n=name: QUERIES[n](spark, SF_DIR)), 3
         )
 
+    # IVF quality: recall@5 of trained-kmeans IVF vs exact brute force
+    # over the bench embeddings (quantized scores on both sides)
+    from pyspark.sql import functions as F
+
+    from pdf_to_xls_vision_spark.functions.ann import (
+        topk_dot_quantized,
+        topk_ivf_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 25)
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in topk_dot_quantized(emb, probes, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.nbr_id)
+        for r in topk_ivf_kmeans(emb, probes, k=5).collect()
+    }
+    recall = round(len(brute & ivf) / max(len(brute), 1), 4)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -125,6 +152,7 @@ def main() -> None:
                 "sf": sf_val,
                 "docs_per_sec": round(BENCH_DOCS / t_ext, 2),
                 "bench_docs": BENCH_DOCS,
+                "ivf_kmeans_recall_at_5": recall,
                 "master": f"local[{CPUS}]",
             }
         )

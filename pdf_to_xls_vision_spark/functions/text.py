@@ -14,14 +14,27 @@ from pyspark.sql import functions as F
 
 from pdf_to_xls_vision_spark.functions.hashing import h60
 
-#: tiny per-language stopword inventories for the n-gram-free heuristic
-#: classifier; scores are plain token-membership counts.
+#: per-language stopword inventories for the heuristic classifier;
+#: scores are plain token-membership counts. ASCII-safe word choices
+#: keep lower()/split() behavior identical across Spark and DuckDB.
+#: Cross-language collisions ('de', 'la', 'en', ...) are real and are
+#: resolved by the argmax over the full inventory.
 LANG_STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to"],
-    "es": ["el", "la", "de", "y", "que"],
-    "de": ["der", "die", "und", "das", "ist"],
-    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "y", "que", "los", "las", "una"],
+    "fr": ["le", "la", "et", "les", "des", "une", "dans", "est"],
+    "it": ["il", "di", "che", "e", "per", "con", "non", "sono"],
+    "nl": ["het", "een", "en", "van", "ik", "te", "dat", "niet"],
+    "pl": ["nie", "to", "na", "i", "z", "co", "jest", "czy"],
+    "pt": ["o", "de", "que", "e", "do", "da", "em", "um"],
+    "sv": ["och", "att", "det", "som", "en", "av", "den", "till"],
+    "tr": ["bir", "ve", "bu", "da", "ne", "gibi", "kadar", "daha"],
 }
+
+#: CJK unified-ideograph range as literal chars — the same class
+#: compiles in Java regex (Spark) and RE2 (DuckDB).
+CJK_CLASS = "[一-鿿]"
 
 PUNCT_CLASS = r"[^\w\s]"
 STOPWORDS_QUALITY = ["the", "a", "of", "and", "to", "in", "is"]
@@ -51,12 +64,17 @@ def bpe_token_count_expr(text_col: str | Column) -> Column:
 
 
 def lang_scores(text_col: str | Column) -> dict[str, Column]:
+    """Per-language scores: stopword membership counts for the
+    whitespace languages, CJK character count for 'zh' (no-whitespace
+    scripts can't be stopword-scored)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.lower(c), " ")
-    return {
+    scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(words)))
         for lang, words in LANG_STOPWORDS.items()
     }
+    scores["zh"] = F.length(c) - F.length(F.regexp_replace(c, CJK_CLASS, ""))
+    return scores
 
 
 def lang_id_expr(text_col: str | Column) -> Column:
@@ -68,7 +86,7 @@ def lang_id_expr(text_col: str | Column) -> Column:
     pairs = F.array(
         *[
             F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
-            for lang in sorted(LANG_STOPWORDS)
+            for lang in sorted(scores)
         ]
     )
     best = F.element_at(F.sort_array(pairs), 1)

@@ -1070,27 +1070,50 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-SQL_LANG_ID = """
+def _sql_lang_id() -> str:
+    """Generated from the same LANG_STOPWORDS/CJK tables as the Spark
+    expressions, so the two sides cannot drift. Alphabetical CASE order
+    replicates Spark's ties-to-first-language argmax."""
+    from pdf_to_xls_vision_spark.functions.text import CJK_CLASS, LANG_STOPWORDS
+
+    langs = sorted(list(LANG_STOPWORDS) + ["zh"])
+    score_exprs = []
+    for lang in langs:
+        if lang == "zh":
+            score_exprs.append(
+                "    length(text) - length(regexp_replace(text, "
+                f"'{CJK_CLASS}', '', 'g')) AS score_zh"
+            )
+        else:
+            words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+            score_exprs.append(
+                f"    len(list_filter(ws, x -> x IN ({words}))) AS score_{lang}"
+            )
+    greatest = f"greatest({', '.join(f'score_{lang}' for lang in langs)})"
+    cases = [f"  CASE WHEN {greatest} = 0 THEN 'und'"]
+    for lang in langs[:-1]:
+        cases.append(f"       WHEN score_{lang} = {greatest} THEN '{lang}'")
+    cases.append(f"       ELSE '{langs[-1]}' END AS predicted_lang")
+    scores_sql = ",\n".join(score_exprs)
+    case_sql = "\n".join(cases)
+    cols = ", ".join(f"score_{lang}" for lang in langs)
+    return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+  SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents
 ),
 scores AS (
   SELECT doc_id,
-    len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS score_de,
-    len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS score_en,
-    len(list_filter(ws, x -> x IN ('el','la','de','y','que'))) AS score_es,
-    len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS score_fr
+{scores_sql}
   FROM toks
 )
 SELECT doc_id,
-  CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
-       WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
-       WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
-       WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
-       ELSE 'fr' END AS predicted_lang,
-  score_de, score_en, score_es, score_fr
+{case_sql},
+  {cols}
 FROM scores
 """
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality_score(spark, sf_dir):

@@ -101,3 +101,31 @@ def test_sessionize_timezone_independent(spark, ddb):
         )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_lang_id_multilingual_fixture(spark):
+    """Broadened lang-ID over hand-built sentences in all 11 supported
+    languages plus an undetermined string."""
+    from pdf_to_xls_vision_spark.functions.text import lang_id_expr
+
+    samples = {
+        "de": "der hund ist nicht mit der katze und das haus",
+        "en": "the cat sat on the mat and the dog is in that house",
+        "es": "el perro y la casa de los vecinos que una vez",
+        "fr": "le chien et la maison dans les champs des une est",
+        "it": "il cane che non sono per con di casa e via",
+        "nl": "ik heb een huis en het is niet van dat hout te",
+        "pl": "nie wiem czy to jest dobre i co z tym na",
+        "pt": "o cachorro de que um do da casa em dia",
+        "sv": "och det som en katt att den av huset till",
+        "tr": "bir ev ve bu da ne gibi kadar daha var",
+        "zh": "这是一个中文句子没有空格",
+        "und": "zzz qqq xxx 123",
+    }
+    df = spark.createDataFrame(
+        [(lang, text) for lang, text in samples.items()], "expected string, text string"
+    )
+    got = {r.expected: r.pred for r in df.select(
+        "expected", lang_id_expr("text").alias("pred")
+    ).collect()}
+    assert got == {lang: lang for lang in samples}
