@@ -98,50 +98,104 @@ def _doc_validation(page_number_lists, grids) -> dict:
     }
 
 
-def _merge_and_serialize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-document reduce: rebuild table records, M1-merge, serialize
-    the ordered span sequence, and compute per-doc metrics."""
-    doc_id = pdf["doc_id"].iloc[0]
-    quality_retried = int(pdf["quality_retried"].max())
-    sentinels = pdf[~pdf["is_table"]]
-    pages_parsed = int(len(sentinels))
-    rotation_corrections = int(sentinels["rotation_corrected"].sum())
+#: extraction-row columns the merge consumes (flat — nested-struct
+#: collect_list was measured 4x slower through Arrow->pandas)
+_MERGE_COLS = [
+    "doc_id", "page", "table_id", "media_ref", "header", "rows",
+    "rotation_corrected", "is_table", "page_numbers", "quality_retried",
+]
 
-    tables = pdf[pdf["is_table"]].sort_values(["page", "table_id"])
-    records = []
-    for row in tables.itertuples(index=False):
-        records.append(
-            GridRecord(
-                header=list(row.header),
-                rows=[list(r) for r in row.rows],
-                page=int(row.page),
-                table_id=int(row.table_id),
-                media_ref=row.media_ref,
-            )
+
+def _merge_doc_arrays(cols: dict, s: int, e: int) -> dict:
+    """Per-document reduce over column-array slices [s:e): rebuild
+    table records, M1-merge, serialize the ordered span sequence, and
+    compute per-doc metrics."""
+    is_table = cols["is_table"]
+    quality_retried = int(max(cols["quality_retried"][i] for i in range(s, e)))
+    sent_idx = [i for i in range(s, e) if not is_table[i]]
+    pages_parsed = len(sent_idx)
+    rotation_corrections = int(
+        sum(cols["rotation_corrected"][i] for i in sent_idx)
+    )
+
+    tbl_idx = sorted(
+        (i for i in range(s, e) if is_table[i]),
+        key=lambda i: (int(cols["page"][i]), int(cols["table_id"][i])),
+    )
+    records = [
+        GridRecord(
+            header=list(cols["header"][i]),
+            rows=[list(x) for x in cols["rows"][i]],
+            page=int(cols["page"][i]),
+            table_id=int(cols["table_id"][i]),
+            media_ref=cols["media_ref"][i],
         )
+        for i in tbl_idx
+    ]
     merged = merge_grid_continuations(records)
     spans = serialize_grid_spans(merged)
     rollups = sum(grid_rollup_rows(r.header, r.rows) for r in merged)
     notes = sum(len(grid_notes(r.header, r.rows)) for r in merged)
     validation = _doc_validation(
-        [list(pn) for pn in sentinels["page_numbers"]],
+        [list(cols["page_numbers"][i]) for i in sent_idx],
         [(r.header, r.rows) for r in merged],
     )
+    return {
+        "doc_id": cols["doc_id"][s],
+        "spans": spans,
+        "n_tables": len(merged),
+        "pages_parsed": pages_parsed,
+        "rotation_corrections": rotation_corrections,
+        "quality_retried": quality_retried,
+        "rollup_rows": int(rollups),
+        "n_notes": int(notes),
+        **validation,
+    }
+
+
+def _merge_frame(b: pd.DataFrame) -> pd.DataFrame:
+    """Merge every complete document group in one pandas frame whose
+    rows are contiguous by doc_id."""
+    import numpy as np
+
+    ids = b["doc_id"].to_numpy()
+    bounds = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+    starts = [0, *bounds.tolist()]
+    ends = [*bounds.tolist(), len(ids)]
+    cols = {c: b[c].to_numpy() for c in _MERGE_COLS}
     return pd.DataFrame(
-        [
-            {
-                "doc_id": doc_id,
-                "spans": spans,
-                "n_tables": len(merged),
-                "pages_parsed": pages_parsed,
-                "rotation_corrections": rotation_corrections,
-                "quality_retried": quality_retried,
-                "rollup_rows": int(rollups),
-                "n_notes": int(notes),
-                **validation,
-            }
-        ]
+        [_merge_doc_arrays(cols, s, e) for s, e in zip(starts, ends)]
     )
+
+
+def _merge_partition(batches) -> pd.DataFrame:
+    """Per-partition merge driver: rows arrive hash-partitioned by
+    doc_id and sorted within the partition, so each document is a
+    contiguous run — but Arrow batches don't respect group boundaries,
+    so the trailing (possibly incomplete) group of every batch is held
+    back and stitched onto the next batch; a 3000-row document simply
+    accumulates across batches until its run ends. This replaces a
+    groupBy().applyInPandas whose pandas-frame-per-group overhead
+    (~13ms/doc x one frame per document) dominated the merge stage's
+    executor time."""
+    pending: pd.DataFrame | None = None
+    for b in batches:
+        if pending is not None:
+            b = pd.concat([pending, b], ignore_index=True)
+            pending = None
+        if len(b) == 0:
+            continue
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy()
+        nz = np.flatnonzero(ids != ids[-1])
+        start_last = int(nz[-1]) + 1 if len(nz) else 0
+        pending = b.iloc[start_last:]
+        body = b.iloc[:start_last]
+        if len(body):
+            yield _merge_frame(body)
+    if pending is not None and len(pending):
+        yield _merge_frame(pending)
 
 
 def explode_pages(docs: DataFrame, force_vision: bool = False) -> DataFrame:
@@ -171,6 +225,7 @@ def run_extraction(
     page_partitions: int | None = None,
     persist_pages: bool = True,
     persisted_sink: list | None = None,
+    merge_strategy: str = "apply_in_pandas",
 ) -> DataFrame:
     """The full extraction pipeline; returns the result relation
     ``(doc_id, spans, …metrics)``.
@@ -208,8 +263,11 @@ def run_extraction(
     n_parts = page_partitions or spark.sparkContext.defaultParallelism * 2
     vision_extractor = make_vision_extractor(backend)
 
+    persist_page_rel = persist_pages is True
+    persist_text_ext = bool(persist_pages)  # True or "text_ext_only"
+
     pages = explode_pages(docs, force_vision).repartition(n_parts)
-    if persist_pages:
+    if persist_page_rel:
         pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
         if persisted_sink is not None:
             persisted_sink.append(pages)
@@ -218,7 +276,7 @@ def run_extraction(
     vision_pages = pages.filter(F.col("route") == "vision")
 
     text_ext = text_pages.mapInPandas(extract_text_pages, EXTRACTION_SCHEMA)
-    if persist_pages:
+    if persist_text_ext:
         # the parse output feeds BOTH the retry aggregate and the kept
         # branch — persisting it halves the layout-parse UDF work (the
         # single most expensive stage). At the 100 TB design point the
@@ -253,6 +311,27 @@ def run_extraction(
 
     all_ext = text_kept.unionByName(vision_ext).unionByName(retry_ext)
 
-    return all_ext.groupBy("doc_id").applyInPandas(
-        _merge_and_serialize, RESULT_SCHEMA
+    # Per-doc reduce. Two equivalent strategies, A/B-measured equal on
+    # this corpus (interleaved runs, quiet-host minimum ~12s wall for
+    # 8000 docs either way — Spark 4's applyInPandas already streams
+    # multiple groups per Arrow batch, so per-group overhead is small):
+    # - apply_in_pandas (default): groupBy().applyInPandas with the
+    #   array-based per-group kernel.
+    # - map_batches: explicit hash repartition + in-partition sort +
+    #   mapInPandas with cross-batch group stitching. Same shuffle;
+    #   useful where group counts per partition are extreme.
+    if merge_strategy == "apply_in_pandas":
+        def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            cols = {c: pdf[c].to_numpy() for c in _MERGE_COLS}
+            return pd.DataFrame([_merge_doc_arrays(cols, 0, len(pdf))])
+
+        return all_ext.groupBy("doc_id").applyInPandas(
+            _merge_group, RESULT_SCHEMA
+        )
+
+    grouped = (
+        all_ext.select(*_MERGE_COLS)
+        .repartition(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
     )
+    return grouped.mapInPandas(_merge_partition, RESULT_SCHEMA)
