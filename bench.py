@@ -125,11 +125,15 @@ def main() -> None:
         (r.query_id, r.nbr_id)
         for r in topk_dot_quantized(emb, probes, k=5).collect()
     }
-    ivf = {
-        (r.query_id, r.nbr_id)
-        for r in topk_ivf_kmeans(emb, probes, k=5).collect()
-    }
-    recall = round(len(brute & ivf) / max(len(brute), 1), 4)
+
+    def _recall(nprobe: int) -> float:
+        ivf = {
+            (r.query_id, r.nbr_id)
+            for r in topk_ivf_kmeans(emb, probes, k=5, nprobe=nprobe).collect()
+        }
+        return round(len(brute & ivf) / max(len(brute), 1), 4)
+
+    recall = {f"nprobe{n}": _recall(n) for n in (1, 2)}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

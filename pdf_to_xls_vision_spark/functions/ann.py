@@ -271,6 +271,35 @@ def assign_cells(
     )
 
 
+def assign_cells_multi(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Probe-side multi-assignment: one row per (vector, cell) for the
+    ``nprobe`` nearest centroids — the standard IVF recall lever (the
+    base side keeps single assignment; only probes fan out). Map-only +
+    a small explode; ties order (distance, cell)."""
+    qv = _qvec(F.col(vec_col))
+    entries = []
+    for cell, cent in enumerate(centroids):
+        c = F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
+        d = F.aggregate(
+            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        entries.append(
+            F.named_struct(F.lit("dist"), d, F.lit("cell"), F.lit(cell).cast("int"))
+        )
+    top = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    return embeddings.withColumn(
+        cell_col, F.explode(F.transform(top, lambda s: s["cell"]))
+    )
+
+
 def topk_ivf_kmeans(
     embeddings: DataFrame,
     probes: DataFrame,
@@ -279,20 +308,44 @@ def topk_ivf_kmeans(
     iterations: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF top-k over *trained* k-means cells — no pre-labeled column.
 
-    Trains coarse centroids once (driver metadata), assigns base and
-    probe sides map-only, then scores within the probe's cell exactly
-    like :func:`topk_ivf`. nprobe=1; raise recall by unioning the
-    next-nearest cells into the probe assignment if needed.
+    Trains coarse centroids once (driver metadata), assigns the base
+    side map-only, fans each probe out to its ``nprobe`` nearest cells,
+    scores within those cells, and keeps the global top-k per probe
+    (ties on ascending neighbor id). nprobe trades scan cost for
+    recall: nprobe == n_cells is exactly brute force.
     """
     centroids = kmeans_train(
         embeddings, k=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
     )
-    base = assign_cells(embeddings, centroids, vec_col=vec_col)
-    q = assign_cells(probes, centroids, vec_col=vec_col)
-    return topk_ivf(base, q, k=k, id_col=id_col, vec_col=vec_col, cell_col="cell")
+    base = assign_cells(embeddings, centroids, vec_col=vec_col).select(
+        "cell", F.col(id_col).alias("nbr_id"), _qvec(F.col(vec_col)).alias("nbr_vec")
+    )
+    q = assign_cells_multi(probes, centroids, nprobe, vec_col=vec_col).select(
+        "cell", F.col(id_col).alias("query_id"), _qvec(F.col(vec_col)).alias("q_vec")
+    )
+    scored = (
+        q.join(base, "cell")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id", "nbr_id", _qdot(F.col("q_vec"), F.col("nbr_vec")).alias("qdot")
+        )
+        # no dedup needed: the base side is single-assigned, so a
+        # (probe, neighbor) pair meets in exactly one probed cell
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "qdot")
+    )
 
 
 def topk_ivf(

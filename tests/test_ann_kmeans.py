@@ -85,3 +85,40 @@ def test_ivf_kmeans_topk_matches_in_cell_brute(spark):
         }
         for key, nbr in brute.items():
             assert ivf[key] == nbr
+
+
+def test_nprobe_full_equals_brute(spark):
+    """nprobe == n_cells scans every cell, so IVF must equal exact
+    brute force — the strongest multi-probe correctness check."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        topk_dot_quantized,
+        topk_ivf_kmeans,
+    )
+
+    df = _blob_df(spark, k=3, per=12, seed=5)
+    probes = df.filter(F.col("vec_id") < 4)
+    brute = sorted(map(tuple, topk_dot_quantized(df, probes, k=5).collect()))
+    full = sorted(map(tuple, topk_ivf_kmeans(
+        df, probes, k=5, n_cells=3, iterations=3, nprobe=3
+    ).collect()))
+    assert full == brute
+
+
+def test_nprobe_monotone_recall(spark):
+    """Recall vs brute is non-decreasing in nprobe."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        topk_dot_quantized,
+        topk_ivf_kmeans,
+    )
+
+    df = _blob_df(spark, k=4, per=10, seed=9)
+    probes = df.filter(F.col("vec_id") < 5)
+    brute = {(r.query_id, r.nbr_id) for r in topk_dot_quantized(df, probes, k=5).collect()}
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = {(r.query_id, r.nbr_id) for r in topk_ivf_kmeans(
+            df, probes, k=5, n_cells=4, iterations=3, nprobe=nprobe
+        ).collect()}
+        recalls.append(len(got & brute) / len(brute))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
