@@ -5,9 +5,10 @@ rows-only check.
 
 Provenance of each fixture (independence matters — say it honestly):
 
-- ``extraction_spans``      — the *independent sequential oracle*
-  (tests/oracle.py, hand-written from the reference's behavior) over
-  the deterministic 64-doc corpus. This is the strongest class.
+- ``extraction_spans``, ``extraction_metrics`` — the *independent
+  sequential oracle* (tests/oracle.py, hand-written from the
+  reference's behavior) over the deterministic 64-doc corpus. This is
+  the strongest class.
 - ``multimodal_*``, ``text_winnow_fingerprints``, ``html_main_content``,
   ``text_bpe_merge_tokens`` — *sequential pure-Python replays* of the
   same deterministic kernels the pandas UDFs call (stub decoder,
@@ -15,10 +16,6 @@ Provenance of each fixture (independence matters — say it honestly):
   the Spark-side plumbing (schema, batching, explode/distinct,
   closure shipping), not the kernel itself — the kernels have their
   own pytest goldens.
-- ``extraction_metrics``    — a *snapshot* of the engine's own metric
-  relation (the sequential oracle computes spans, not metrics). This
-  is a regression pin, the weakest class; span-level correctness is
-  covered by ``extraction_spans`` above.
 
 Deterministic by construction — regenerate with
 ``PYTHONPATH=. python scripts/gen_expected.py`` and ``git diff`` must
@@ -301,14 +298,35 @@ def gen_bpe_merge_tokens() -> None:
 
 
 def gen_extraction_metrics() -> None:
-    """Spark snapshot (regression pin — see module docstring)."""
-    from pdf_to_xls_vision_spark.plans.queries import q_extraction_metrics
-    from pdf_to_xls_vision_spark.session import get_spark
+    """Independent sequential metrics oracle (tests/oracle.py:
+    oracle_document_metrics) — same strength class as
+    extraction_spans; no Spark involved."""
+    from oracle import oracle_document_metrics
 
-    spark = get_spark("gen-expected", master="local[8]", shuffle_partitions=8)
-    df = q_extraction_metrics(spark, SF_DIRS[0]).orderBy("doc_id")
-    pdf = df.toPandas()
-    _write("extraction_metrics", pa.Table.from_pandas(pdf, preserve_index=False))
+    from pdf_to_xls_vision_spark.corpus import generate_corpus
+
+    docs = generate_corpus(64)
+    rows = [oracle_document_metrics(d, s) for d, s in docs]
+    rows.sort(key=lambda r: r["doc_id"])
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    _write(
+        "extraction_metrics",
+        pa.table(cols).cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.string()),
+                    ("n_tables", pa.int32()),
+                    ("pages_parsed", pa.int64()),
+                    ("rotation_corrections", pa.int64()),
+                    ("quality_retried", pa.int32()),
+                    ("rollup_rows", pa.int64()),
+                    ("n_notes", pa.int64()),
+                    ("validation_status", pa.string()),
+                    ("accuracy_pct", pa.float64()),
+                ]
+            )
+        ),
+    )
 
 
 def main() -> None:

@@ -402,3 +402,197 @@ def oracle_corpus(docs, force_vision=False):
         doc_id: oracle_document(doc_id, spans, force_vision)
         for doc_id, spans in docs
     }
+
+
+# ---------------------------------------------------------------------------
+# per-document metrics (mirrors the engine's RESULT_SCHEMA metrics:
+# converter.py loop counters + validation.py report). Shares ONLY the
+# deterministic pixel stub with the engine (same convention as
+# stub_csv); rotation scoring, number extraction, rollup/notes scans
+# are re-implemented here from the documented semantics.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+_NUM_RE_M = re.compile(r"\$?\(?\d{1,3}(?:,\d{3})*(?:\.\d+)?\)?%?")
+_ROLLUP_MARKERS_M = ("total", "gross", "effective", "net operating income", "noi")
+_LABEL_COLS_M = ("Row_Type", "Category", "Notes")
+
+
+def _norm_num_m(tok):
+    c = tok.replace("$", "").replace(",", "").replace("%", "")
+    if c.startswith("(") and c.endswith(")"):
+        c = "-" + c[1:-1]
+    return c
+
+
+def _num_key_m(tok):
+    try:
+        return repr(float(tok))
+    except ValueError:
+        return tok
+
+
+def _page_source_text_m(span):
+    if span["kind"] != "text" or not span["text"]:
+        return ""
+    try:
+        words = json.loads(span["text"]).get("words", [])
+    except Exception:
+        return ""
+    return " ".join(w.get("t", "") for w in words)
+
+
+def _rot90cw_m(img, degrees):
+    return _np.rot90(img, k=(4 - (degrees // 90)) % 4)
+
+
+def _upright_m(img):
+    h, w = img.shape
+    qh, qw = h // 4, w // 4
+    a = img.astype(_np.int64)
+    return int(
+        a[:qh].sum() - a[h - qh:].sum() + a[:, :qw].sum() - a[:, w - qw:].sum()
+    )
+
+
+def _rotation_applied_m(ref):
+    """1 when the gated projection-profile correction fires (angle != 0
+    and margin/area > 1.0), else 0."""
+    from pdf_to_xls_vision_spark.core.vision import stub_pixels  # shared stub
+
+    img, _ = stub_pixels(ref)
+    scores = sorted(
+        ((_upright_m(_rot90cw_m(img, d)), -d) for d in (0, 90, 180, 270)),
+        reverse=True,
+    )
+    margin = scores[0][0] - scores[1][0]
+    angle = -scores[0][1]
+    return 1 if (angle != 0 and margin / float(img.size) > 1.0) else 0
+
+
+def _table_rollup_rows_m(df):
+    if len(df) == 0 or len(df.columns) == 0:
+        return 0
+    if "Row_Type" in df.columns:
+        col = df["Row_Type"]
+        return int(
+            sum(1 for v in col if pd.notna(v) and str(v).strip().upper() == "ROLLUP")
+        )
+    first = df[df.columns[0]]
+    return int(
+        sum(
+            1
+            for v in first
+            if pd.notna(v)
+            and any(m in str(v).lower().strip() for m in _ROLLUP_MARKERS_M)
+        )
+    )
+
+
+def _table_notes_m(df):
+    if "Notes" not in df.columns or "Row_Type" not in df.columns:
+        return 0
+    n = 0
+    for _, row in df.iterrows():
+        if (
+            pd.notna(row["Notes"])
+            and pd.notna(row["Row_Type"])
+            and str(row["Row_Type"]).strip().upper() == "HEADER"
+        ):
+            n += 1
+    return n
+
+
+def _table_numbers_m(df):
+    out = []
+    for col in df.columns:
+        if col in _LABEL_COLS_M:
+            continue
+        for val in df[col]:
+            if pd.notna(val):
+                out.extend(_norm_num_m(t) for t in _NUM_RE_M.findall(str(val)))
+    return out
+
+
+def oracle_document_metrics(doc_id, spans, force_vision=False):
+    """Sequential metrics for one document — the engine's
+    extraction_metrics row, computed independently."""
+    from collections import Counter
+
+    pages = sorted(spans, key=lambda s: s["offset"])
+    kinds = [s["kind"] for s in pages]
+    all_image = all(k == "image" for k in kinds)
+    image_based = any(k == "image" for k in kinds[:3])
+
+    def refs():
+        return [
+            s["media_ref"] if s["media_ref"] else f"img://{doc_id}/{s['offset'] + 1}"
+            for s in pages
+        ]
+
+    retried = 0
+    if all_image or image_based or force_vision:
+        vision = True
+    else:
+        vision = False
+        tables = []
+        any_issue = False
+        for s in pages:
+            if s["kind"] != "text":
+                continue
+            for df in _text_page_tables(s["text"]):
+                if _has_quality_issues(df):
+                    any_issue = True
+                tables.append(
+                    {"dataframe": df, "page": s["offset"] + 1, "table": 1,
+                     "media_ref": ""}
+                )
+        if any_issue or not tables:
+            vision = True
+            retried = 1
+
+    rotation_corrections = 0
+    if vision:
+        rotation_corrections = sum(_rotation_applied_m(r) for r in refs())
+        tables = []
+        for s in pages:
+            page = s["offset"] + 1
+            ref = s["media_ref"] if s["media_ref"] else f"img://{doc_id}/{page}"
+            df = _vision_page_table(ref)
+            if df is not None:
+                tables.append(
+                    {"dataframe": df, "page": page, "table": 1, "media_ref": ref}
+                )
+
+    merged = _merge(tables) if tables else []
+
+    pdf_tokens = []
+    for s in pages:
+        text = _page_source_text_m(s)
+        pdf_tokens.extend(_norm_num_m(t) for t in _NUM_RE_M.findall(text))
+
+    if not pdf_tokens:
+        status, accuracy = "skipped", 0.0
+    else:
+        pdf_counts = Counter(_num_key_m(t) for t in pdf_tokens)
+        tbl_counts = Counter()
+        for rec in merged:
+            tbl_counts.update(_num_key_m(t) for t in _table_numbers_m(rec["dataframe"]))
+        keys = set(pdf_counts) | set(tbl_counts)
+        matches = sum(min(pdf_counts[k], tbl_counts[k]) for k in keys)
+        total = sum(pdf_counts.values())
+        status = "completed"
+        accuracy = round(matches / total * 100, 2) if total else 0.0
+
+    return {
+        "doc_id": doc_id,
+        "n_tables": len(merged),
+        "pages_parsed": len(pages),
+        "rotation_corrections": rotation_corrections,
+        "quality_retried": retried,
+        "rollup_rows": sum(_table_rollup_rows_m(r["dataframe"]) for r in merged),
+        "n_notes": sum(_table_notes_m(r["dataframe"]) for r in merged),
+        "validation_status": status,
+        "accuracy_pct": accuracy,
+    }

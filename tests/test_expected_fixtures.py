@@ -24,6 +24,7 @@ def _gen():
     "name,genfn",
     [
         ("extraction_spans", "gen_extraction_spans"),
+        ("extraction_metrics", "gen_extraction_metrics"),
         ("multimodal_media_features", "gen_multimodal"),
         ("text_winnow_fingerprints", "gen_winnow"),
         ("html_main_content", "gen_html_main_content"),
