@@ -1116,6 +1116,58 @@ FROM scores
 SQL_LANG_ID = _sql_lang_id()
 
 
+CURATION_BUDGET = 3_000
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budgeted curation: per-language greedy quality-ranked
+    prefix under a 20k-token budget (functions/curation.budget_sample)."""
+    from pdf_to_xls_vision_spark.functions.curation import budget_sample
+
+    return budget_sample(_t(spark, sf_dir, "documents"), CURATION_BUDGET)
+
+
+def _sql_token_budget_sample() -> str:
+    quality = """
+       round(
+         0.4 * least(n_chars / 400.0, 1.0)
+         + 0.4 * least((CASE WHEN n_toks > 0
+                             THEN stop / CAST(n_toks AS DOUBLE) ELSE 0 END) * 4, 1.0)
+         + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                                    THEN punct / CAST(n_chars AS DOUBLE) ELSE 0 END) * 5, 1.0)),
+       6)"""
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang AS shard,
+         length(text) AS n_chars,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS punct
+  FROM documents
+),
+m AS (
+  SELECT doc_id, shard, n_chars, punct, n_tokens,
+         len(toks) AS n_toks,
+         len(list_filter(toks,
+             x -> x IN ('the','a','of','and','to','in','is'))) AS stop
+  FROM base
+),
+scored AS (
+  SELECT doc_id, shard, n_tokens, {quality} AS quality FROM m
+),
+ranked AS (
+  SELECT doc_id, shard, quality, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard
+                             ORDER BY quality DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, shard, quality, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= {CURATION_BUDGET}
+"""
+
+
 def q_quality_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score_expr("text").alias("quality"))
@@ -1549,6 +1601,7 @@ QUERIES = {
     "text_bpe_tokens": q_bpe_token_stats,
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
+    "curation_token_budget": q_token_budget_sample,
     "text_fingerprint": q_fingerprint,
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
@@ -1601,6 +1654,7 @@ ORACLES = {
     "text_bpe_tokens": SQL_BPE_TOKEN_STATS,
     "text_lang_id": SQL_LANG_ID,
     "text_quality_score": SQL_QUALITY_SCORE,
+    "curation_token_budget": _sql_token_budget_sample(),
     "text_fingerprint": SQL_FINGERPRINT,
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "agg_pricing_summary": SQL_PRICING_SUMMARY,
