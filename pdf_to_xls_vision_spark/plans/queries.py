@@ -985,6 +985,46 @@ FROM ranked WHERE rank <= {TOP_K}
 NEAR_DUP_THRESHOLD = 0.35
 
 
+def q_embedding_near_dups_kmeans(spark, sf_dir):
+    """Embedding near-dup pairs bucketed by *trained* k-means cells —
+    the fully self-contained variant (dedup_embedding_cosine consumes
+    the pre-existing label column)."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        assign_cells,
+        kmeans_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+    tagged = assign_cells(emb, centroids)
+    return embedding_near_dups(
+        tagged, threshold=NEAR_DUP_THRESHOLD, cell_col="cell"
+    )
+
+
+def _sql_embedding_near_dups_kmeans() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+normed AS (
+  SELECT cell, vid, qv,
+         list_sum([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)])::BIGINT AS n2
+  FROM asg_final
+),
+pairs AS (
+  SELECT a.vid AS vec_a, b.vid AS vec_b,
+         list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)])::BIGINT
+           / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos_raw
+  FROM normed a JOIN normed b ON a.cell = b.cell AND a.vid < b.vid
+)
+SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine_q
+FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs within IVF cells (dedup family)."""
     return embedding_near_dups(
@@ -1597,6 +1637,7 @@ QUERIES = {
     "ann_kmeans_cells": q_kmeans_cells,
     "ann_topk_ivf_kmeans": q_ann_ivf_kmeans,
     "dedup_embedding_cosine": q_embedding_near_dups,
+    "dedup_embedding_cosine_kmeans": q_embedding_near_dups_kmeans,
     "text_token_stats": q_token_stats,
     "text_bpe_tokens": q_bpe_token_stats,
     "text_lang_id": q_lang_id,
@@ -1650,6 +1691,7 @@ ORACLES = {
     "ann_kmeans_cells": _sql_kmeans_cells(),
     "ann_topk_ivf_kmeans": _sql_ann_ivf_kmeans(),
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
+    "dedup_embedding_cosine_kmeans": _sql_embedding_near_dups_kmeans(),
     "text_token_stats": SQL_TOKEN_STATS,
     "text_bpe_tokens": SQL_BPE_TOKEN_STATS,
     "text_lang_id": SQL_LANG_ID,
