@@ -70,7 +70,60 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="print the per-bucket validation/metrics report (X7) after the run",
     )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="treat INPUT as a continuously-growing directory: run the "
+        "Structured Streaming ingest (exactly-once per-micro-batch "
+        "commits) instead of the batch job",
+    )
+    p.add_argument(
+        "--stream-checkpoint",
+        default=None,
+        help="streaming checkpoint dir (default: <output>/_stream_checkpoint)",
+    )
+    p.add_argument(
+        "--continuous",
+        action="store_true",
+        help="with --stream: keep running for new files instead of "
+        "draining what's present and stopping (availableNow)",
+    )
     return p
+
+
+def _run_stream(spark, args) -> int:
+    import os
+
+    from pdf_to_xls_vision_spark.streaming.ingest import (
+        read_stream_committed,
+        stream_extraction,
+    )
+
+    ckpt = args.stream_checkpoint or os.path.join(
+        args.output, "_stream_checkpoint"
+    )
+    q = stream_extraction(
+        spark,
+        args.input,
+        args.output,
+        ckpt,
+        n_buckets=args.buckets,
+        available_now=not args.continuous,
+    )
+    q.awaitTermination()
+    committed = read_stream_committed(spark, args.output)
+    print(
+        json.dumps(
+            {
+                "mode": "stream",
+                "docs": committed.select("doc_id").distinct().count(),
+                "span_rows": committed.count(),
+                "output": args.output,
+                "checkpoint": ckpt,
+            }
+        )
+    )
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -93,6 +146,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("pdf_to_xls_vision_spark.cli", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     try:
+        if args.stream:
+            return _run_stream(spark, args)
         docs = spark.read.parquet(args.input)
         if args.partitions:
             docs = docs.repartition(args.partitions)

@@ -56,3 +56,40 @@ def test_cli_arg_errors():
         ["in.parquet", "-o", "out", "--force-vision", "--buckets", "16"]
     )
     assert args.force_vision and args.buckets == 16 and args.output == "out"
+
+
+def test_cli_stream_mode(spark, tiny_corpus, tmp_path):
+    """--stream drains the input dir via Structured Streaming and
+    prints the stream summary; a second invocation picks up only new
+    files (checkpoint resume)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_to_xls_vision_spark.cli import main
+    from pdf_to_xls_vision_spark.corpus import corpus_to_arrow
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(in_dir)
+    pq.write_table(corpus_to_arrow(tiny_corpus[:12]), f"{in_dir}/f1.parquet")
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([in_dir, "-o", out_dir, "--stream", "--buckets", "8"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["mode"] == "stream"
+    assert summary["docs"] == 12
+
+    pq.write_table(corpus_to_arrow(tiny_corpus[12:20]), f"{in_dir}/f2.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([in_dir, "-o", out_dir, "--stream", "--buckets", "8"])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["docs"] == 20
