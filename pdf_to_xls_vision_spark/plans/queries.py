@@ -1535,6 +1535,20 @@ def q_winnow_fingerprints(spark, sf_dir):
     return fps.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
 
+def q_bpe_token_ids(spark, sf_dir):
+    """The tokenized corpus: train merges+vocab on the corpus word
+    frequencies, emit (doc_id, pos, token_id) — what a token-budgeted
+    pretraining pipeline actually materializes."""
+    from pdf_to_xls_vision_spark.functions.bpe import (
+        bpe_token_ids,
+        learn_tokenizer,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, vocab = learn_tokenizer(docs)
+    return bpe_token_ids(docs, merges, vocab)
+
+
 def q_bpe_merge_tokens(spark, sf_dir):
     """True vocab-driven BPE counts: train the merge table on the
     corpus word-frequency aggregate (deterministic), apply via an
@@ -1605,6 +1619,12 @@ FROM read_parquet('{_EXPECTED}/text_bpe_merge_tokens.parquet')
 WHERE corpus_sig = {_SIG}
 """
 
+SQL_BPE_TOKEN_IDS = f"""
+SELECT doc_id, pos, token_id
+FROM read_parquet('{_EXPECTED}/text_bpe_token_ids.parquet')
+WHERE corpus_sig = {_SIG}
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -1659,6 +1679,7 @@ QUERIES = {
     "multimodal_frame_sample": q_media_frame_sample,
     "text_winnow_fingerprints": q_winnow_fingerprints,
     "text_bpe_merge_tokens": q_bpe_merge_tokens,
+    "text_bpe_token_ids": q_bpe_token_ids,
     "html_main_content": q_html_main_content,
 }
 
@@ -1710,5 +1731,6 @@ ORACLES = {
     "multimodal_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "text_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "text_bpe_merge_tokens": SQL_BPE_MERGE_TOKENS,
+    "text_bpe_token_ids": SQL_BPE_TOKEN_IDS,
     "html_main_content": SQL_HTML_MAIN_CONTENT,
 }

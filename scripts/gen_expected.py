@@ -297,6 +297,50 @@ def gen_bpe_merge_tokens() -> None:
     )
 
 
+def gen_bpe_token_ids() -> None:
+    from pdf_to_xls_vision_spark.functions.bpe import (
+        MAX_TRAIN_WORDS,
+        N_MERGES,
+        _PRETOKEN_RE,
+        build_vocab,
+        encode_text_ids,
+        learn_merges_from_freqs,
+    )
+
+    out = {"corpus_sig": [], "doc_id": [], "pos": [], "token_id": []}
+    for sf_dir in SF_DIRS:
+        doc_ids, texts, sig = _docs_table(sf_dir)
+        wf: dict[str, int] = {}
+        for text in texts:
+            for m in _PRETOKEN_RE.findall(str(text or "")):
+                if m.strip() != "":
+                    wf[m] = wf.get(m, 0) + 1
+        top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_TRAIN_WORDS]
+        merges = learn_merges_from_freqs(top, N_MERGES)
+        vocab = build_vocab(top, merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        cache: dict = {}
+        for doc_id, text in zip(doc_ids, texts):
+            ids = encode_text_ids(str(text or ""), ranks, vocab, cache)
+            out["corpus_sig"].extend([sig] * len(ids))
+            out["doc_id"].extend([doc_id] * len(ids))
+            out["pos"].extend(range(len(ids)))
+            out["token_id"].extend(ids)
+    _write(
+        "text_bpe_token_ids",
+        pa.table(out).cast(
+            pa.schema(
+                [
+                    ("corpus_sig", pa.int64()),
+                    ("doc_id", pa.int64()),
+                    ("pos", pa.int32()),
+                    ("token_id", pa.int32()),
+                ]
+            )
+        ),
+    )
+
+
 def gen_extraction_metrics() -> None:
     """Independent sequential metrics oracle (tests/oracle.py:
     oracle_document_metrics) — same strength class as
@@ -335,6 +379,7 @@ def main() -> None:
     gen_winnow()
     gen_html_main_content()
     gen_bpe_merge_tokens()
+    gen_bpe_token_ids()
     gen_extraction_metrics()
 
 

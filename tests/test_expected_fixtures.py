@@ -29,6 +29,7 @@ def _gen():
         ("text_winnow_fingerprints", "gen_winnow"),
         ("html_main_content", "gen_html_main_content"),
         ("text_bpe_merge_tokens", "gen_bpe_merge_tokens"),
+        ("text_bpe_token_ids", "gen_bpe_token_ids"),
     ],
 )
 def test_fixture_not_stale(tmp_path, monkeypatch, name, genfn):
