@@ -13,10 +13,28 @@ scale:
   10^12-doc ingest feed).
 - :func:`sessionize_stream` — the M1 continuation-merge analog over an
   unbounded stream: per-key sessions split on inactivity gaps,
-  implemented with ``applyInPandasWithState`` (custom state = the open
-  session; closed sessions emit downstream). Event-time-ordered within
-  each micro-batch; the open session survives in ``GroupState``
-  across batches and restarts (checkpointed).
+  implemented with ``applyInPandasWithState`` (custom state = the
+  per-user session list; closed sessions emit downstream).
+
+**Event-time semantics (round 3).** The sessionizer is purely
+event-time driven: a session is emitted only once the watermark has
+passed ``session_end + gap`` — the point after which no admissible
+event (every event is >= watermark) could extend or bridge it. Until
+then it is held in state, so
+
+- *when* a session closes depends only on event times and watermark
+  progression, never on wall clock (``EventTimeTimeout``, not
+  ``ProcessingTimeTimeout``);
+- a replay of the same input produces the identical set of session
+  rows regardless of micro-batch boundaries (batching shifts *which
+  batch* emits a row, not its values);
+- late events within the watermark merge into — and may bridge —
+  existing sessions (``last = max(last, epoch)``; an event landing
+  between two held sessions within one gap of both fuses them).
+
+State is bounded: sessions are held only while
+``last + gap >= watermark``, i.e. at most ``ceil(watermark_delay /
+gap) + 1`` sessions per active user, each 4 longs.
 
 Both operators are pure plan builders: they accept any streaming
 DataFrame, so tests drive them with a file stream and availableNow
@@ -27,6 +45,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 from typing import Any
+from zoneinfo import ZoneInfo
 
 import pandas as pd
 
@@ -35,6 +54,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_SECONDS = 1800  # M1/sessionize convention: 30-minute gap
+
+#: Default watermark: how long the sessionizer waits (in event time)
+#: for stragglers before a session becomes final. One gap is the
+#: natural choice — an on-time event stream then finalizes each
+#: session as soon as the stream moves one gap past it.
+SESSION_WATERMARK = "30 minutes"
 
 
 def windowed_event_counts(
@@ -70,87 +95,138 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events int, value_milli long"
 )
-_STATE_SCHEMA = "start long, last long, n int, value_milli long"
+#: Held sessions as parallel arrays (sorted by start): bounded by the
+#: watermark-lag-over-gap ratio per user, not by history.
+_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>, vms array<long>"
+)
 
 
-def _sessionize_group(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this key's new events (event-time order) into the open
-    session; emit every session closed by a >gap inactivity or by the
-    processing-time timeout firing with no new data."""
-    user_id = key[0]
+def merge_events_into_sessions(
+    sessions: list[tuple[int, int, int, int]],
+    events: list[tuple[int, int]],
+) -> list[tuple[int, int, int, int]]:
+    """Pure event-time session merge (unit-testable, no Spark).
 
-    if state.hasTimedOut:
+    ``sessions`` are (start, last, n, value_milli) intervals whose
+    internal events chain with gaps <= SESSION_GAP_SECONDS; ``events``
+    are (epoch, value_milli) points. Returns the merged session list
+    sorted by start: each event either extends a session (late events
+    included — ``last`` only ever grows via max), bridges two sessions
+    into one, or opens a new singleton.
+    """
+    merged = sorted(sessions) + sorted(
+        (e, e, 1, vm) for e, vm in events
+    )
+    merged.sort()
+    out: list[tuple[int, int, int, int]] = []
+    for s in merged:
+        if out and s[0] - out[-1][1] <= SESSION_GAP_SECONDS:
+            p = out[-1]
+            out[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+        else:
+            out.append(s)
+    return out
+
+
+def _sessionize_group_fn(tz: str):
+    """Build the stateful function with the session timezone in the
+    closure (Arrow hands the worker tz-naive *session-local* wall
+    times; watermark / emitted rows need true epochs)."""
+    zone = ZoneInfo(tz)
+
+    def to_epoch(ts: pd.Series) -> list[int]:
+        loc = ts.dt.tz_localize(zone)
+        return (loc.dt.tz_convert("UTC").astype("int64") // 1_000_000_000).tolist()
+
+    def from_epoch(epoch: int) -> pd.Timestamp:
+        return (
+            pd.Timestamp(epoch, unit="s", tz="UTC")
+            .tz_convert(zone)
+            .tz_localize(None)
+        )
+
+    def fn(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+
+        sessions: list[tuple[int, int, int, int]] = []
         if state.exists:
-            start, last, n, vm = state.get
+            starts, lasts, ns, vms = state.get
+            sessions = list(zip(starts, lasts, ns, vms))
+
+        if not state.hasTimedOut:
+            events: list[tuple[int, int]] = []
+            for b in batches:
+                epochs = to_epoch(b["ts"])
+                millis = [int(v * 1000 // 1) for v in b["value"]]
+                events.extend(zip(epochs, millis))
+            sessions = merge_events_into_sessions(sessions, events)
+
+        # A session is final once the watermark passes last + gap: any
+        # future admissible event has epoch >= watermark > last + gap,
+        # so it can neither extend nor bridge into the session.
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        closed = [s for s in sessions if s[1] + SESSION_GAP_SECONDS < wm_sec]
+        held = [s for s in sessions if s[1] + SESSION_GAP_SECONDS >= wm_sec]
+
+        if held:
+            state.update(tuple(list(col) for col in zip(*held)))
+            # wake when the watermark passes the earliest held session's
+            # finalization point (margin keeps it strictly > watermark)
+            state.setTimeoutTimestamp(
+                (min(s[1] for s in held) + SESSION_GAP_SECONDS) * 1000 + 1000
+            )
+        elif state.exists:
             state.remove()
+
+        if closed:
             yield pd.DataFrame(
                 [
                     {
                         "user_id": user_id,
-                        "session_start": pd.Timestamp(start, unit="s"),
-                        "session_end": pd.Timestamp(last, unit="s"),
+                        "session_start": from_epoch(s),
+                        "session_end": from_epoch(e),
                         "n_events": n,
                         "value_milli": vm,
                     }
+                    for s, e, n, vm in closed
                 ]
             )
-        return
 
-    events: list[tuple[int, int]] = []  # (epoch, value_milli)
-    for b in batches:
-        epochs = (b["ts"].astype("int64") // 1_000_000_000).tolist()
-        millis = [int(v * 1000 // 1) for v in b["value"]]
-        events.extend(zip(epochs, millis))
-    events.sort()
-
-    start, last, n, vm = state.get if state.exists else (None, None, 0, 0)
-    closed = []
-    for epoch, milli in events:
-        if start is None:
-            start, last, n, vm = epoch, epoch, 1, milli
-        elif epoch - last > SESSION_GAP_SECONDS:
-            closed.append((start, last, n, vm))
-            start, last, n, vm = epoch, epoch, 1, milli
-        else:
-            last, n, vm = epoch, n + 1, vm + milli
-    if start is not None:
-        state.update((start, last, n, vm))
-        # flush the open session if no new event arrives for one gap
-        state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
-
-    if closed:
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": user_id,
-                    "session_start": pd.Timestamp(s, unit="s"),
-                    "session_end": pd.Timestamp(e, unit="s"),
-                    "n_events": cnt,
-                    "value_milli": v,
-                }
-                for s, e, cnt, v in closed
-            ]
-        )
+    return fn
 
 
 def sessionize_stream(
     events: DataFrame,
     user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = SESSION_WATERMARK,
 ) -> DataFrame:
     """Custom stateful operator: per-user session assembly over an
     unbounded event stream (the streaming counterpart of the batch
-    ``m1_sessionize_window`` query). State = the open session per user
-    (4 longs — bounded by distinct active users, not by history);
-    closed sessions append downstream. Processing-time timeout flushes
-    sessions idle for one gap."""
-    return events.groupBy(user_col).applyInPandasWithState(
-        _sessionize_group,
-        outputStructType=SESSION_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    ``m1_sessionize_window`` query), fully event-time driven.
+
+    ``withWatermark`` bounds lateness (older rows are dropped by the
+    engine) and drives ``EventTimeTimeout``: a session row is emitted
+    exactly when the watermark passes ``session_end + gap`` — never on
+    a wall clock, so replaying the same input yields identical session
+    rows whatever the micro-batch boundaries.
+    """
+    tz = events.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    ) or "UTC"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _sessionize_group_fn(tz),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
