@@ -16,6 +16,9 @@ correctness against the sequential oracle.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -536,29 +539,14 @@ FROM mins
 """
 
 
-def q_lsh_pairs(spark, sf_dir):
-    """Uncapped parity variant — max_bucket_size=None opts OUT of the
-    production bucket cap so the oracle sees identical pairs."""
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
-    return lsh_candidate_pairs(sigs, band_rows=4, max_bucket_size=None)
-
-
-SQL_LSH_PAIRS = f"""
-WITH {_minhash_mins_sql()},
-bands AS (
-  SELECT doc_id, 0 AS band,
-         m0::VARCHAR || ',' || m1::VARCHAR || ',' || m2::VARCHAR || ',' || m3::VARCHAR AS sig
-  FROM mins
-  UNION ALL
-  SELECT doc_id, 1 AS band,
-         m4::VARCHAR || ',' || m5::VARCHAR || ',' || m6::VARCHAR || ',' || m7::VARCHAR AS sig
-  FROM mins
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-"""
-
+# The formerly-registered *uncapped* LSH variant (max_bucket_size=None)
+# was dropped from the registry in round 3: its plan is quadratic in
+# hot-bucket size by construction, so registering it invited a future
+# bench or user to inherit a non-scale-safe query. The bucket cap is
+# now part of the checked semantics — the oracle below expresses it as
+# a windowed-count filter, so parity is verified on the PRODUCTION
+# path. (`lsh_candidate_pairs(..., max_bucket_size=None)` remains
+# available as a library opt-out and is covered by pytest.)
 
 LSH_BUCKET_CAP = 256
 
@@ -1564,11 +1552,162 @@ def q_bpe_merge_tokens(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# streaming parity — batch equivalence of the Structured Streaming plans
+# ---------------------------------------------------------------------------
+#
+# The streaming family (streaming/aggregate.py) is event-time driven,
+# so an availableNow replay over a static fixture must produce exactly
+# the batch answer — these two queries turn that property into hard
+# driver-level CORRECTNESS rows (rows+schema+hash vs DuckDB), not just
+# pytest assertions. A far-future "advancer" row pushes the final
+# watermark past every real window / session, so everything real
+# flushes; the advancer's own window/session stays un-finalized in
+# state and never reaches the sink.
+
+
+def _epoch_ntz() -> F.Column:
+    """Epoch seconds from the NTZ wall-clock fields (same derivation as
+    m1_sessionize_window — session-timezone-independent)."""
+    return (
+        F.unix_date(F.col("ts").cast("date")).cast("long") * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+
+
+def _run_stream_over_events(spark, sf_dir, plan, tag):
+    """Materialize the events table as a file-stream input (plus the
+    advancer row), run ``plan`` availableNow into a temp parquet sink,
+    and return the sink relation.
+
+    A streaming query inherently needs a sink + checkpoint directory;
+    the per-call ``mkdtemp`` carries no state between runs and is the
+    one documented exception to the side-effect-free-builder rule. The
+    single ``collect()`` fetches one long (max event epoch) — driver
+    metadata, not data rows.
+    """
+    from pdf_to_xls_vision_spark.streaming.aggregate import (  # noqa: F401
+        sessionize_stream,
+        windowed_event_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"ptxv_stream_{tag}_")
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+
+    ev = _t(spark, sf_dir, "events").withColumn("epoch", _epoch_ntz())
+    max_epoch = int(ev.agg(F.max("epoch")).collect()[0][0])
+    adv = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(max_epoch + 30 * 86400)).alias("ts"),
+        F.lit("__advancer__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    (
+        ev.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.timestamp_seconds("epoch").alias("ts"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+        .unionByName(adv)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string, value double"
+    ).parquet(in_dir)
+    q = (
+        plan(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out_dir)
+
+
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Batch parity of the watermarked window aggregate: every real
+    (30-min window, event_type) group must appear exactly once with
+    the exact batch counts. Epoch projection keeps the comparison
+    session-timezone-independent."""
+    from pdf_to_xls_vision_spark.streaming.aggregate import windowed_event_counts
+
+    out = _run_stream_over_events(spark, sf_dir, windowed_event_counts, "win")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_milli").cast("long").alias("value_milli"),
+    )
+
+
+SQL_STREAMING_WINDOWED_COUNTS = """
+SELECT (floor(floor(epoch(ts)) / 1800) * 1800)::BIGINT AS window_start_epoch,
+       event_type,
+       count(*) AS n_events,
+       sum(floor(value * 1000))::BIGINT AS value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_sessionize(spark, sf_dir):
+    """Batch parity of the event-time stateful sessionizer: the
+    availableNow replay must emit exactly the m1-style gap sessions
+    (30-min inactivity split) for every user."""
+    from pdf_to_xls_vision_spark.streaming.aggregate import sessionize_stream
+
+    out = _run_stream_over_events(spark, sf_dir, sessionize_stream, "sess")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "value_milli",
+    )
+
+
+SQL_STREAMING_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 THEN 1
+              ELSE 0 END AS new_seg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, ts, value,
+         sum(new_seg) OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS segment
+  FROM lagged
+)
+SELECT user_id,
+       min(floor(epoch(ts))::BIGINT) AS start_epoch,
+       max(floor(epoch(ts))::BIGINT) AS end_epoch,
+       count(*) AS n_events,
+       sum(floor(value * 1000))::BIGINT AS value_milli
+FROM seg
+GROUP BY user_id, segment
+"""
+
+
+# ---------------------------------------------------------------------------
 # expected-parquet oracles for the non-SQL-expressible queries
 # (generated by scripts/gen_expected.py; provenance documented there)
 # ---------------------------------------------------------------------------
 
-_EXPECTED = "/root/repo/fixtures/expected"
+# repo-relative so a relocated clone keeps working (ADVICE r2)
+_EXPECTED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "expected",
+)
 
 #: winnow/BPE expected rows depend on the documents table, which
 #: differs per SF: blocks are keyed by corpus_sig = sum(length(text)).
@@ -1646,7 +1785,6 @@ QUERIES = {
     "w1_sheet_names": q_sheet_names,
     "dedup_exact": q_exact_dedup,
     "dedup_minhash_signatures": q_minhash_signatures,
-    "dedup_lsh_pairs": q_lsh_pairs,
     "dedup_lsh_pairs_capped": q_lsh_pairs_capped,
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_simhash,
@@ -1669,6 +1807,10 @@ QUERIES = {
     "agg_pricing_rollup": q_pricing_rollup,
     "setop_part_usage": q_set_ops,
     "join_nation_revenue": q_nation_revenue,
+    # Structured Streaming plans replayed availableNow over the events
+    # fixture — batch equivalence checked against the DuckDB batch SQL
+    "streaming_windowed_counts": q_streaming_windowed_counts,
+    "streaming_sessionize": q_streaming_sessionize,
     # non-SQL-expressible — oracled against materialized expected
     # parquet (scripts/gen_expected.py documents each fixture's
     # provenance: sequential oracle / sequential replay / snapshot)
@@ -1699,7 +1841,6 @@ ORACLES = {
     "w1_sheet_names": SQL_SHEET_NAMES,
     "dedup_exact": SQL_EXACT_DEDUP,
     "dedup_minhash_signatures": SQL_MINHASH_SIGNATURES,
-    "dedup_lsh_pairs": SQL_LSH_PAIRS,
     "dedup_lsh_pairs_capped": SQL_LSH_PAIRS_CAPPED.format(mins=_minhash_mins_sql()),
     "dedup_clusters": SQL_DEDUP_CLUSTERS.format(
         mins=_minhash_mins_sql(), cap=LSH_BUCKET_CAP
@@ -1724,6 +1865,8 @@ ORACLES = {
     "agg_pricing_rollup": SQL_PRICING_ROLLUP,
     "setop_part_usage": SQL_SET_OPS,
     "join_nation_revenue": SQL_NATION_REVENUE,
+    "streaming_windowed_counts": SQL_STREAMING_WINDOWED_COUNTS,
+    "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "extraction_spans": SQL_EXTRACTION_SPANS,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "multimodal_media_features": SQL_MEDIA_FEATURES,
