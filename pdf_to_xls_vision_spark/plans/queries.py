@@ -1711,6 +1711,14 @@ _EXPECTED = os.path.join(
 
 #: winnow/BPE expected rows depend on the documents table, which
 #: differs per SF: blocks are keyed by corpus_sig = sum(length(text)).
+#: Blocks exist for every driver-targetable SF (sf0.001, sf0.01,
+#: sf0.1 — scripts/gen_expected.py SF_DIRS); any other SF selects an
+#: empty block and the comparison fails loudly on row count.
+#: Provenance: the winnow/BPE fixtures are generated from the
+#: INDEPENDENT re-derivations in tests/independent_kernels.py
+#: (engine==independent equality asserted per document by
+#: tests/test_independent_kernels.py), so these oracles are not
+#: self-referential.
 _SIG = "(SELECT sum(length(text)) FROM documents)"
 
 SQL_EXTRACTION_SPANS = f"""
