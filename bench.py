@@ -115,6 +115,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from pdf_to_xls_vision_spark.functions.ann import (
+        kmeans_train_balanced,
+        make_blob_embeddings,
         topk_dot_quantized,
         topk_ivf_kmeans,
     )
@@ -134,6 +136,58 @@ def main() -> None:
         return round(len(brute & ivf) / max(len(brute), 1), 4)
 
     recall = {f"nprobe{n}": _recall(n) for n in (1, 2)}
+
+    # Recall-vs-nprobe curve on CLUSTERABLE data (the honest IVF
+    # fixture — the driver embeddings are near-orthogonal noise, where
+    # neighbors are random across cells and recall says nothing about
+    # the quantizer). 16 cells, nprobe << n_cells.
+    blobs = make_blob_embeddings(
+        spark, n=2000, d=16, n_clusters=12,
+        sizes=[0.45] + [0.05] * 11, seed=7,
+    ).drop("label").cache()
+    bprobes = blobs.filter(F.col("vec_id") % 100 == 0)
+    bbrute = {
+        (r.query_id, r.nbr_id)
+        for r in topk_dot_quantized(blobs, bprobes, k=5).collect()
+    }
+    bal_cents = kmeans_train_balanced(
+        blobs, k=16, iterations=4, balance_factor=1.5, max_splits=8
+    )
+
+    def _blob_recall(nprobe: int) -> float:
+        got = {
+            (r.query_id, r.nbr_id)
+            for r in topk_ivf_kmeans(
+                blobs, bprobes, k=5, nprobe=nprobe, centroids=bal_cents
+            ).collect()
+        }
+        return round(len(got & bbrute) / max(len(bbrute), 1), 4)
+
+    blob_recall = {f"nprobe{n}": _blob_recall(n) for n in (1, 2, 4, 8)}
+    blobs.unpersist()
+
+    # Dedup effect metrics: what the production path (capped LSH ->
+    # connected components -> canonical mapping) actually removes from
+    # the SF documents corpus — the yield number a curation run reports
+    # next to its throughput.
+    clusters_df = QUERIES["dedup_clusters"](spark, SF_DIR).cache()
+    n_docs = clusters_df.count()
+    n_canonical = int(
+        clusters_df.filter(F.col("is_canonical") == 1).count()
+    )
+    n_multi_clusters = int(
+        clusters_df.groupBy("cluster_rep")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > 1)
+        .count()
+    )
+    clusters_df.unpersist()
+    dedup_yield = {
+        "n_docs": int(n_docs),
+        "docs_removed": int(n_docs - n_canonical),
+        "removed_pct": round(100.0 * (n_docs - n_canonical) / max(n_docs, 1), 2),
+        "dup_clusters": n_multi_clusters,
+    }
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -157,6 +211,8 @@ def main() -> None:
                 "docs_per_sec": round(BENCH_DOCS / t_ext, 2),
                 "bench_docs": BENCH_DOCS,
                 "ivf_kmeans_recall_at_5": recall,
+                "ivf_balanced_recall_at_5_blobs": blob_recall,
+                "dedup_yield": dedup_yield,
                 "master": f"local[{CPUS}]",
             }
         )

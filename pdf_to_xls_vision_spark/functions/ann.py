@@ -210,6 +210,33 @@ def _maximin_init(vecs: DataFrame, k: int) -> list[list[int]]:
     return chosen
 
 
+def _lloyd(
+    vecs: DataFrame, centroids: list[list[int]], iterations: int
+) -> list[list[int]]:
+    """Deterministic Lloyd refinement over prepared ``(vid, qv)`` rows:
+    exact int64 assignment, floor-mean updates, empty cells keep their
+    centroid. Each iteration collects k*d longs (driver metadata)."""
+    k = len(centroids)
+    for _ in range(iterations):
+        cell = _dist_to_centroids(F.col("qv"), centroids).alias("cell")
+        sums = (
+            vecs.select(cell, F.posexplode("qv").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        fresh: dict[int, dict[int, int]] = {}
+        for r in sums:
+            fresh.setdefault(r.cell, {})[r.pos] = int(r.s) // int(r.n)
+        centroids = [
+            [fresh[c][p] for p in range(len(centroids[c]))]
+            if c in fresh
+            else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
+
+
 def kmeans_train(
     embeddings: DataFrame,
     k: int = KMEANS_K,
@@ -236,24 +263,79 @@ def kmeans_train(
         F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
     ).persist()
     try:
-        centroids = _maximin_init(vecs, k)
-        for _ in range(iterations):
+        return _lloyd(vecs, _maximin_init(vecs, k), iterations)
+    finally:
+        vecs.unpersist()
+
+
+def kmeans_train_balanced(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    iterations: int = KMEANS_ITERS,
+    balance_factor: float = 2.0,
+    max_splits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Hot-cell-balanced k-means IVF training (deterministic).
+
+    Plain Lloyd's first, then repeatedly split the largest cell whose
+    population exceeds ``balance_factor * n / n_cells``: a recursive
+    2-means (maximin init restricted to the hot cell's members) turns
+    its centroid into two children, and to keep the cell count at
+    ``k`` the emptiest other cell's centroid is retired (its members
+    reassign to their next-nearest on the following pass). One global
+    refinement iteration runs after each split.
+
+    Every step is the same integer-exact arithmetic as
+    :func:`kmeans_train`, so the result is reproducible bit-for-bit;
+    per split the driver handles k*d longs plus two tiny top-1 jobs —
+    metadata, not data. IVF recall on skewed corpora is bounded by the
+    hottest cell (a probe landing there scans the hot cell and gains
+    nothing from nprobe); bounding cell size with ``balance_factor``
+    restores the recall-vs-nprobe trade (see BENCH recall curves).
+
+    Not oracle-replayed in SQL (the registered ``ann_kmeans_cells``
+    oracle covers the unbalanced trainer the query uses); covered by
+    pytest on skewed blob fixtures instead.
+    """
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
+    ).persist()
+    try:
+        centroids = _lloyd(vecs, _maximin_init(vecs, k), iterations)
+        n_total = vecs.count()
+        for _ in range(max_splits):
             cell = _dist_to_centroids(F.col("qv"), centroids).alias("cell")
-            sums = (
-                vecs.select(cell, F.posexplode("qv").alias("pos", "val"))
-                .groupBy("cell", "pos")
-                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-                .collect()
+            sizes = {
+                int(r.cell): int(r.n)
+                for r in vecs.select(cell).groupBy("cell").agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+            cap = balance_factor * n_total / len(centroids)
+            hot = max(
+                (c for c in sizes if sizes[c] > cap),
+                key=lambda c: (sizes[c], -c),
+                default=None,
             )
-            fresh: dict[int, dict[int, int]] = {}
-            for r in sums:
-                fresh.setdefault(r.cell, {})[r.pos] = int(r.s) // int(r.n)
+            if hot is None:
+                break
+            members = vecs.filter(
+                _dist_to_centroids(F.col("qv"), centroids) == hot
+            )
+            children = _lloyd(members, _maximin_init(members, 2), iterations)
+            # retire the emptiest non-hot cell (ties to lowest index)
+            emptiest = min(
+                (c for c in range(len(centroids)) if c != hot),
+                key=lambda c: (sizes.get(c, 0), c),
+            )
             centroids = [
-                [fresh[c][p] for p in range(len(centroids[c]))]
-                if c in fresh
-                else centroids[c]
-                for c in range(k)
-            ]
+                c
+                for i, c in enumerate(centroids)
+                if i not in (hot, emptiest)
+            ] + children
+            centroids = _lloyd(vecs, centroids, 1)
         return centroids
     finally:
         vecs.unpersist()
@@ -309,6 +391,7 @@ def topk_ivf_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF top-k over *trained* k-means cells — no pre-labeled column.
 
@@ -316,11 +399,18 @@ def topk_ivf_kmeans(
     side map-only, fans each probe out to its ``nprobe`` nearest cells,
     scores within those cells, and keeps the global top-k per probe
     (ties on ascending neighbor id). nprobe trades scan cost for
-    recall: nprobe == n_cells is exactly brute force.
+    recall: nprobe == n_cells is exactly brute force. Pass pre-trained
+    ``centroids`` (e.g. from :func:`kmeans_train_balanced`) to reuse or
+    swap the coarse quantizer.
     """
-    centroids = kmeans_train(
-        embeddings, k=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        centroids = kmeans_train(
+            embeddings,
+            k=n_cells,
+            iterations=iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     base = assign_cells(embeddings, centroids, vec_col=vec_col).select(
         "cell", F.col(id_col).alias("nbr_id"), _qvec(F.col(vec_col)).alias("nbr_vec")
     )
@@ -345,6 +435,65 @@ def topk_ivf_kmeans(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "qdot")
+    )
+
+
+def make_blob_embeddings(
+    spark,
+    n: int = 2000,
+    d: int = 16,
+    n_clusters: int = 10,
+    sizes: list[float] | None = None,
+    noise: float = 0.05,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic *clusterable* embedding fixture: ``n_clusters``
+    Gaussian-ish blobs around unit-sphere centers, normalized — the
+    data shape IVF recall curves are meaningful on (the driver's
+    synthetic embeddings are near-orthogonal noise, where neighbors
+    are effectively random across cells and no coarse quantizer can
+    score well). ``sizes`` (proportions) skews cluster populations for
+    the balancing tests. RNG is a self-contained LCG — no library RNG
+    state, reproducible everywhere.
+    """
+    import numpy as np
+
+    m = 1 << 31
+    x = (seed % m) or 1
+
+    def lcg(count: int) -> "np.ndarray":
+        nonlocal x
+        out = np.empty(count, dtype=np.float64)
+        for i in range(count):
+            x = (1103515245 * x + 12345) % m
+            out[i] = x / m
+        return out
+
+    centers = (lcg(n_clusters * d).reshape(n_clusters, d) * 2.0) - 1.0
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    props = sizes if sizes is not None else [1.0 / n_clusters] * n_clusters
+    total = sum(props)
+    counts = [int(round(n * p / total)) for p in props]
+    counts[0] += n - sum(counts)
+
+    rows_vid, rows_label, rows_vec = [], [], []
+    vid = 0
+    for c, cnt in enumerate(counts):
+        pts = centers[c] + ((lcg(cnt * d).reshape(cnt, d) * 2.0) - 1.0) * noise
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        for p in pts:
+            rows_vid.append(vid)
+            rows_label.append(c)
+            rows_vec.append([float(v) for v in p])
+            vid += 1
+
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": rows_vid, "label": rows_label, "embedding": rows_vec}
+        ),
+        schema="vec_id long, label int, embedding array<float>",
     )
 
 

@@ -122,3 +122,109 @@ def test_nprobe_monotone_recall(spark):
         recalls.append(len(got & brute) / len(brute))
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# balanced training + recall on clusterable blobs (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _cell_sizes(spark, df, cents):
+    from pdf_to_xls_vision_spark.functions.ann import assign_cells
+
+    return {
+        int(r.cell): int(r.n)
+        for r in assign_cells(df, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_balanced_training_bounds_hot_cell(spark):
+    """On a heavily skewed corpus (one cluster holds ~2/3 of the
+    points) the balanced trainer must split the hot cell below the
+    balance bound while keeping the cell count at k."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        kmeans_train,
+        kmeans_train_balanced,
+        make_blob_embeddings,
+    )
+
+    df = make_blob_embeddings(
+        spark, n=600, d=8, n_clusters=4, sizes=[0.67, 0.11, 0.11, 0.11],
+        seed=13,
+    ).drop("label")
+    plain = kmeans_train(df, k=4, iterations=3)
+    balanced = kmeans_train_balanced(
+        df, k=4, iterations=3, balance_factor=1.5, max_splits=4
+    )
+    assert len(balanced) == 4
+    n = df.count()
+    hot_plain = max(_cell_sizes(spark, df, plain).values())
+    hot_bal = max(_cell_sizes(spark, df, balanced).values())
+    assert hot_plain > 1.5 * n / 4          # the skew really is there
+    assert hot_bal <= 1.5 * n / 4 + 1       # and balancing removed it
+    # deterministic
+    again = kmeans_train_balanced(
+        df, k=4, iterations=3, balance_factor=1.5, max_splits=4
+    )
+    assert balanced == again
+
+
+def test_blob_recall_curve_high_at_small_nprobe(spark):
+    """On clusterable data (the honest fixture for IVF quality) the
+    trained quantizer reaches recall@5 >= 0.9 with nprobe << n_cells."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        make_blob_embeddings,
+        topk_dot_quantized,
+        topk_ivf_kmeans,
+    )
+
+    df = make_blob_embeddings(spark, n=800, d=16, n_clusters=8, seed=7).drop(
+        "label"
+    )
+    probes = df.filter(F.col("vec_id") % 40 == 0)  # 20 probes across blobs
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in topk_dot_quantized(df, probes, k=5).collect()
+    }
+    got1 = {
+        (r.query_id, r.nbr_id)
+        for r in topk_ivf_kmeans(
+            df, probes, k=5, n_cells=8, iterations=4, nprobe=1
+        ).collect()
+    }
+    recall1 = len(got1 & brute) / len(brute)
+    assert recall1 >= 0.9, recall1
+
+
+def test_balanced_centroids_plug_into_ivf(spark):
+    """Pre-trained balanced centroids drop into topk_ivf_kmeans and
+    keep recall on the skewed corpus."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        kmeans_train_balanced,
+        make_blob_embeddings,
+        topk_dot_quantized,
+        topk_ivf_kmeans,
+    )
+
+    df = make_blob_embeddings(
+        spark, n=600, d=8, n_clusters=4, sizes=[0.67, 0.11, 0.11, 0.11],
+        seed=13,
+    ).drop("label")
+    cents = kmeans_train_balanced(
+        df, k=4, iterations=3, balance_factor=1.5, max_splits=4
+    )
+    probes = df.filter(F.col("vec_id") % 30 == 0)
+    brute = {
+        (r.query_id, r.nbr_id)
+        for r in topk_dot_quantized(df, probes, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.nbr_id)
+        for r in topk_ivf_kmeans(
+            df, probes, k=5, nprobe=2, centroids=cents
+        ).collect()
+    }
+    assert len(got & brute) / len(brute) >= 0.9
