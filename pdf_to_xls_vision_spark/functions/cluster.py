@@ -34,9 +34,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Safety bound: 2 * log2(n) rounds suffice for n nodes; 30 rounds
-#: covers n ~ 2^15 components-of-chains at 10^12 edges with margin.
-MAX_CC_ROUNDS = 30
+#: Safety bound: ~2 * log2(n) rounds suffice for n nodes (Kiveris et
+#: al.), so 80 rounds covers the documented 10^12-document design
+#: point (2 * log2(10^12) ≈ 80). Convergence is detected by the edge
+#: fingerprint, so well-behaved graphs exit after a handful of rounds
+#: regardless of the bound; exhausting it without a fixpoint raises
+#: instead of silently returning partially-merged components.
+MAX_CC_ROUNDS = 80
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -116,12 +120,22 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = _edge_fingerprint(edges)
+    converged = False
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _edge_fingerprint(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # partially-converged components are silently WRONG answers —
+        # fail loudly instead (raise max_rounds for larger graphs)
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"{max_rounds} rounds (last fingerprint {prev}); the result "
+            f"would be partially merged — increase max_rounds"
+        )
     # fixpoint: every edge is (node, component_min); roots map to themselves
     nodes = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(

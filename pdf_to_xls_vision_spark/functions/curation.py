@@ -56,3 +56,43 @@ def budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .select("doc_id", "shard", "quality", "n_tokens", "cum_tokens")
     )
+
+
+def budget_sample_composite(
+    docs: DataFrame,
+    budget_tokens: int,
+    n_buckets: int,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composite-shard budget sampling: shard key = (shard, bucket)
+    with ``bucket = doc_id mod n_buckets`` and per-bucket budget
+    ``budget_tokens // n_buckets``.
+
+    The plain per-language window serializes each language into one
+    task — fine for 10 languages, a wall at 100 TB where one language
+    holds most of the corpus. The composite key multiplies the
+    parallelism by ``n_buckets`` (pick it ~ executor count); budgets
+    are allocated proportionally per bucket, so the expected totals
+    match the per-shard run whenever quality is bucket-independent
+    (the id-hash bucketing makes it so by construction).
+    """
+    per_bucket = budget_tokens // n_buckets
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("shard"),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("bigint").alias("bucket"),
+        quality_score_expr(text_col).alias("quality"),
+        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard", "bucket")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= per_bucket)
+        .select("doc_id", "shard", "bucket", "quality", "n_tokens", "cum_tokens")
+    )

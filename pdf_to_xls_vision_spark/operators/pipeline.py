@@ -259,6 +259,11 @@ def run_extraction(
     LRU-evicted, so leaking one per micro-batch grows local disk
     without bound.
     """
+    if merge_strategy not in ("apply_in_pandas", "map_batches"):
+        raise ValueError(
+            f"merge_strategy must be 'apply_in_pandas' or 'map_batches', "
+            f"got {merge_strategy!r}"
+        )
     spark = docs.sparkSession
     n_parts = page_partitions or spark.sparkContext.defaultParallelism * 2
     vision_extractor = make_vision_extractor(backend)

@@ -1155,7 +1155,24 @@ def q_token_budget_sample(spark, sf_dir):
     return budget_sample(_t(spark, sf_dir, "documents"), CURATION_BUDGET)
 
 
-def _sql_token_budget_sample() -> str:
+N_CURATION_BUCKETS = 4
+
+
+def q_token_budget_sample_sharded(spark, sf_dir):
+    """Composite-shard curation: (lang, doc_id mod 4) shards with
+    budget/4 per bucket — the shard-key generalization that scales the
+    running-sum window past the language count
+    (functions/curation.budget_sample_composite)."""
+    from pdf_to_xls_vision_spark.functions.curation import (
+        budget_sample_composite,
+    )
+
+    return budget_sample_composite(
+        _t(spark, sf_dir, "documents"), CURATION_BUDGET, N_CURATION_BUCKETS
+    )
+
+
+def _sql_token_budget_sample(sharded: bool = False) -> str:
     quality = """
        round(
          0.4 * least(n_chars / 400.0, 1.0)
@@ -1164,9 +1181,19 @@ def _sql_token_budget_sample() -> str:
          + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
                                     THEN punct / CAST(n_chars AS DOUBLE) ELSE 0 END) * 5, 1.0)),
        6)"""
+    bucket_col = (
+        f",\n         (doc_id % {N_CURATION_BUCKETS})::BIGINT AS bucket"
+        if sharded
+        else ""
+    )
+    bucket_sel = ", bucket" if sharded else ""
+    partition = "shard, bucket" if sharded else "shard"
+    budget = (
+        CURATION_BUDGET // N_CURATION_BUCKETS if sharded else CURATION_BUDGET
+    )
     return rf"""
 WITH base AS (
-  SELECT doc_id, lang AS shard,
+  SELECT doc_id, lang AS shard{bucket_col},
          length(text) AS n_chars,
          list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
          len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens,
@@ -1174,25 +1201,25 @@ WITH base AS (
   FROM documents
 ),
 m AS (
-  SELECT doc_id, shard, n_chars, punct, n_tokens,
+  SELECT doc_id, shard{bucket_sel}, n_chars, punct, n_tokens,
          len(toks) AS n_toks,
          len(list_filter(toks,
              x -> x IN ('the','a','of','and','to','in','is'))) AS stop
   FROM base
 ),
 scored AS (
-  SELECT doc_id, shard, n_tokens, {quality} AS quality FROM m
+  SELECT doc_id, shard{bucket_sel}, n_tokens, {quality} AS quality FROM m
 ),
 ranked AS (
-  SELECT doc_id, shard, quality, n_tokens,
-         sum(n_tokens) OVER (PARTITION BY shard
+  SELECT doc_id, shard{bucket_sel}, quality, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY {partition}
                              ORDER BY quality DESC, doc_id ASC
                              ROWS BETWEEN UNBOUNDED PRECEDING
                                       AND CURRENT ROW)::BIGINT AS cum_tokens
   FROM scored
 )
-SELECT doc_id, shard, quality, n_tokens, cum_tokens
-FROM ranked WHERE cum_tokens <= {CURATION_BUDGET}
+SELECT doc_id, shard{bucket_sel}, quality, n_tokens, cum_tokens
+FROM ranked WHERE cum_tokens <= {budget}
 """
 
 
@@ -1809,6 +1836,7 @@ QUERIES = {
     "text_lang_id": q_lang_id,
     "text_quality_score": q_quality_score,
     "curation_token_budget": q_token_budget_sample,
+    "curation_token_budget_sharded": q_token_budget_sample_sharded,
     "text_fingerprint": q_fingerprint,
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
@@ -1867,6 +1895,7 @@ ORACLES = {
     "text_lang_id": SQL_LANG_ID,
     "text_quality_score": SQL_QUALITY_SCORE,
     "curation_token_budget": _sql_token_budget_sample(),
+    "curation_token_budget_sharded": _sql_token_budget_sample(sharded=True),
     "text_fingerprint": SQL_FINGERPRINT,
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "agg_pricing_summary": SQL_PRICING_SUMMARY,

@@ -12,6 +12,7 @@ def _cc(spark, edges):
     return {r.node: r.component for r in out.collect()}
 
 
+@pytest.mark.slow
 def test_chain(spark):
     # worst case for naive propagation: a long path
     edges = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(20)]
@@ -25,6 +26,7 @@ def test_star(spark):
     assert got == {**{f"a{i}": "a0" for i in range(10)}, "z_center": "a0"}
 
 
+@pytest.mark.slow
 def test_cycle(spark):
     edges = [(f"c{i}", f"c{(i + 1) % 7}") for i in range(7)]
     got = _cc(spark, edges)
@@ -66,3 +68,16 @@ def test_converges_in_logarithmic_rounds(spark):
     out = connected_components(df, max_rounds=10)
     comps = {r.component for r in out.collect()}
     assert comps == {"n000"}
+
+
+def test_raises_loudly_without_fixpoint(spark):
+    """Exhausting max_rounds without convergence must raise — a
+    partially-merged component mapping is a silently wrong answer."""
+    import pytest as _pytest
+
+    from pdf_to_xls_vision_spark.functions.cluster import connected_components
+
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(df, max_rounds=1)

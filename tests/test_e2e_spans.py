@@ -93,6 +93,7 @@ def test_pinned_behaviors(engine_result, golden):
         assert all(s[2] == "img://doc-pin-image/1" for s in img if s[0] != "note")
 
 
+@pytest.mark.slow
 def test_force_vision_route(spark, tiny_corpus_path, tiny_corpus):
     """force_vision (converter.py:96-99) sends even clean text docs
     through the vision stage; oracle agrees."""
@@ -112,6 +113,7 @@ def test_order_is_dense_and_zero_based(engine_result):
         assert [s[3] for s in seq] == list(range(len(seq))), doc_id
 
 
+@pytest.mark.slow
 def test_merge_strategies_equivalent(spark, tiny_corpus_path):
     """map_batches (repartition+sort+stitching) must produce exactly
     the apply_in_pandas default's output — same shuffle, different
@@ -134,3 +136,14 @@ def test_merge_strategies_equivalent(spark, tiny_corpus_path):
         }
 
     assert snap("apply_in_pandas") == snap("map_batches")
+
+
+def test_unknown_merge_strategy_rejected(spark, tiny_corpus_path):
+    """Typos must fail fast, not silently fall into map_batches."""
+    import pytest as _pytest
+
+    from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
+
+    docs = spark.read.parquet(tiny_corpus_path)
+    with _pytest.raises(ValueError, match="merge_strategy"):
+        run_extraction(docs, merge_strategy="apply_in_pandaz")
