@@ -7,6 +7,23 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+#: Parametrized oracle checks whose Spark side replays multi-step
+#: training or a streaming job — marked slow here because the slow
+#: marker cannot be attached to a single parametrization inline.
+_SLOW_QUERY_PARAMS = (
+    "[ann_kmeans_cells]",
+    "[ann_topk_ivf_kmeans]",
+    "[dedup_embedding_cosine_kmeans]",
+    "[streaming_sessionize]",
+    "[extraction_metrics]",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.nodeid.endswith(_SLOW_QUERY_PARAMS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

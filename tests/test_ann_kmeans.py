@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # multi-minute module; fast path skips it
+
 
 def _blob_df(spark, k=3, per=20, dim=8, seed=7):
     """k well-separated blobs: centers at 2*e_j, points jittered ±0.05."""

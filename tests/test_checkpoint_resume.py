@@ -13,6 +13,8 @@ from pdf_to_xls_vision_spark.sink.checkpoint import (
     write_checkpointed,
 )
 
+pytestmark = pytest.mark.slow  # multi-minute module; fast path skips it
+
 N_BUCKETS = 8
 
 

@@ -19,6 +19,7 @@ def small_corpus_path(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_cli_run_and_resume(spark, small_corpus_path, tmp_path, capsys):
     out_dir = str(tmp_path / "out")
     rc = main([small_corpus_path, "-o", out_dir, "--buckets", "4", "--report"])
@@ -58,6 +59,7 @@ def test_cli_arg_errors():
     assert args.force_vision and args.buckets == 16 and args.output == "out"
 
 
+@pytest.mark.slow
 def test_cli_stream_mode(spark, tiny_corpus, tmp_path):
     """--stream drains the input dir via Structured Streaming and
     prints the stream summary; a second invocation picks up only new

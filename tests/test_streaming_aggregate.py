@@ -51,6 +51,7 @@ def _run(spark, df, out_dir, ckpt):
     q.awaitTermination(600)
 
 
+@pytest.mark.slow
 def test_windowed_counts_drop_too_late_rows(spark, tmp_path):
     from pdf_to_xls_vision_spark.streaming.aggregate import windowed_event_counts
 
@@ -165,6 +166,7 @@ def test_sessionize_stream_closes_on_gap_across_batches(spark, tmp_path):
     assert r.value_milli == 1500 + 2250
 
 
+@pytest.mark.slow
 def test_sessionize_late_event_merges_without_shrinking(spark, tmp_path):
     """A late-but-admissible event (>= watermark) merges into the held
     session: end stays at the max event time, count/value grow."""
@@ -200,6 +202,7 @@ def test_sessionize_late_event_merges_without_shrinking(spark, tmp_path):
     assert r.n_events == 4
 
 
+@pytest.mark.slow
 def test_sessionize_bridge_event_fuses_held_sessions(spark, tmp_path):
     """An admissible event landing within one gap of two held sessions
     fuses them into a single session."""
@@ -280,6 +283,7 @@ def _sessionize_run_rows(spark, tmp_path, tag, batched):
     )
 
 
+@pytest.mark.slow
 def test_sessionize_replay_deterministic_across_batchings(spark, tmp_path):
     """The emitted session rows are a pure function of the event set:
     two replays with different micro-batch boundaries (one-run-per-file
@@ -296,6 +300,7 @@ def test_sessionize_replay_deterministic_across_batchings(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_sessionize_non_utc_session_timezone(spark, tmp_path):
     """Epochs are derived by localizing the Arrow wall-clock times with
     the session tz, so gap math and emitted rows are tz-independent."""

@@ -3,6 +3,8 @@ output parity with the batch pipeline, and restart-without-reprocess."""
 
 import os
 
+import pytest
+
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
@@ -24,6 +26,7 @@ def _span_set(df):
     }
 
 
+@pytest.mark.slow
 def test_stream_matches_batch_and_resumes(spark, tiny_corpus, tmp_path):
     docs = generate_corpus(24)
     in_dir = str(tmp_path / "incoming")
@@ -66,6 +69,7 @@ def test_stream_matches_batch_and_resumes(spark, tiny_corpus, tmp_path):
     assert batches_per_doc.filter(F.col("n") > 1).count() == 0
 
 
+@pytest.mark.slow
 def test_replayed_micro_batch_manifest_idempotent(spark, tiny_corpus, tmp_path):
     """A micro-batch replayed after a failure between the manifest write
     and the streaming-checkpoint commit must not duplicate manifest rows
