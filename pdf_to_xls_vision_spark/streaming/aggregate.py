@@ -44,7 +44,6 @@ triggers.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 from zoneinfo import ZoneInfo
 
 import pandas as pd
