@@ -438,6 +438,131 @@ def topk_ivf_kmeans(
     )
 
 
+RP_BITS = 24
+RP_BAND_BITS = 8
+RP_PLANE_MOD = 2001  # hyperplane components in [-1000, 1000]
+RP_MAX_BUCKET = 256
+
+
+def rp_planes(n_bits: int, dim: int) -> list[list[int]]:
+    """Deterministic integer random-projection hyperplanes: component
+    (i, j) = (md5-56bit of "rp:i:j") mod 2001 - 1000 — the same
+    portable-hash convention as the MinHash seeds, so any engine can
+    regenerate the identical planes (the oracle SQL inlines them)."""
+    import hashlib
+
+    def h(i: int, j: int) -> int:
+        d = hashlib.md5(f"rp:{i}:{j}".encode()).digest()
+        return int.from_bytes(d[:7], "big") % RP_PLANE_MOD - (RP_PLANE_MOD // 2)
+
+    return [[h(i, j) for j in range(dim)] for i in range(n_bits)]
+
+
+def cosine_lsh_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = RP_BITS,
+    band_bits: int = RP_BAND_BITS,
+    max_bucket_size: int | None = RP_MAX_BUCKET,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH candidate pairs —
+    the cosine-space sibling of the MinHash/Jaccard LSH family
+    (Charikar, STOC'02): bit i = sign(v · h_i), signatures split into
+    ``n_bits / band_bits``-bit bands, candidates = pairs sharing any
+    band bucket. P(bit match) = 1 - θ/π, so near-parallel vectors
+    collide with high probability while near-orthogonal ones land in
+    ~uniform buckets.
+
+    Scale shape matches the MinHash LSH: signatures are map-only
+    integer dot products against ``n_bits × dim`` broadcast literals
+    (no training, no shuffle), the band self-join shuffles on the
+    bucket key, and ``max_bucket_size`` drops degenerate buckets
+    (quadratic blowup, no signal) before the join. With ``threshold``
+    set, candidates are verified with the exact integer-quantized
+    cosine — approximate RECALL, exact PRECISION, the standard LSH
+    contract. All arithmetic is integer/IEEE-exact, so the DuckDB
+    oracle matches bit-for-bit.
+    """
+    if n_bits % band_bits != 0:
+        raise ValueError("n_bits must be a multiple of band_bits")
+    planes = rp_planes(n_bits, dim)
+
+    qv = _qvec(F.col(vec_col))
+    bits = []
+    for plane in planes:
+        c = F.array(*[F.lit(int(w)).cast("bigint") for w in plane])
+        dot = F.aggregate(
+            F.zip_with(qv, c, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+
+    n_bands = n_bits // band_bits
+    band_keys = []
+    for b in range(n_bands):
+        key = F.lit(0)
+        for i in range(band_bits):
+            key = key + bits[b * band_bits + i] * F.lit(1 << (band_bits - 1 - i))
+        band_keys.append(
+            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("key"))
+        )
+
+    tagged = embeddings.select(
+        F.col(id_col).alias("vid"),
+        qv.alias("qv"),
+        F.explode(F.array(*band_keys)).alias("bk"),
+    ).select("vid", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key")
+        tagged = (
+            tagged.withColumn("bucket_n", F.count("*").over(w))
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
+
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.qv").alias("qa"),
+            F.col("b.qv").alias("qb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    if threshold is None:
+        return pairs.select("vec_a", "vec_b")
+    scored = pairs.select(
+        "vec_a",
+        "vec_b",
+        (
+            _qdot(F.col("qa"), F.col("qb"))
+            / F.sqrt(
+                (
+                    _qdot(F.col("qa"), F.col("qa"))
+                    * _qdot(F.col("qb"), F.col("qb"))
+                ).cast("double")
+            )
+        ).alias("cos_raw"),
+    )
+    return scored.filter(F.col("cos_raw") >= threshold).select(
+        "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine_q")
+    )
+
+
 def make_blob_embeddings(
     spark,
     n: int = 2000,

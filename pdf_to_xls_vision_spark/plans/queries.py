@@ -1013,6 +1013,93 @@ FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
 """
 
 
+#: The driver embeddings are 64-dimensional (FIXTURES.md §6).
+EMB_DIM = 64
+
+
+def q_embedding_lsh(spark, sf_dir):
+    """Cosine-LSH (random-hyperplane / Charikar) near-dup candidates
+    with exact integer-quantized cosine verification — the
+    cosine-space sibling of the MinHash banded LSH: no cell column and
+    no training required, signatures are map-only dot products against
+    broadcast integer hyperplanes. Approximate recall (a qualifying
+    pair must share one signature band), exact precision (candidates
+    are verified against the threshold) — the standard LSH contract,
+    and deterministic end-to-end, so the oracle replays it exactly."""
+    from pdf_to_xls_vision_spark.functions.ann import cosine_lsh_pairs
+
+    return cosine_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+    )
+
+
+def _sql_embedding_lsh() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import (
+        RP_BAND_BITS,
+        RP_BITS,
+        RP_MAX_BUCKET,
+        rp_planes,
+    )
+
+    planes = rp_planes(RP_BITS, EMB_DIM)
+    bit_exprs = ",\n         ".join(
+        f"CASE WHEN list_dot_product(qv, {plane}) >= 0 THEN 1 ELSE 0 END AS b{i}"
+        for i, plane in enumerate(planes)
+    )
+    n_bands = RP_BITS // RP_BAND_BITS
+    band_rows = []
+    for b in range(n_bands):
+        terms = " + ".join(
+            f"b{b * RP_BAND_BITS + i} * {1 << (RP_BAND_BITS - 1 - i)}"
+            for i in range(RP_BAND_BITS)
+        )
+        band_rows.append(
+            f"SELECT vid, qv, {b} AS band, ({terms})::BIGINT AS key FROM sig"
+        )
+    bands_sql = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS vid,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS qv
+  FROM embeddings
+),
+sig AS (
+  SELECT vid, qv,
+         {bit_exprs}
+  FROM q
+),
+bands AS (
+  {bands_sql}
+),
+kept AS (
+  SELECT vid, qv, band, key FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, key) <= {RP_MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.vid AS vec_a, b.vid AS vec_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.vid < b.vid
+),
+normed AS (
+  SELECT vid, qv,
+         list_sum([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)])::BIGINT AS n2
+  FROM q
+),
+pairs AS (
+  SELECT c.vec_a, c.vec_b,
+         list_sum([x.qv[i] * y.qv[i] FOR i IN range(1, len(x.qv) + 1)])::BIGINT
+           / sqrt(CAST(x.n2 * y.n2 AS DOUBLE)) AS cos_raw
+  FROM cand c
+  JOIN normed x ON x.vid = c.vec_a
+  JOIN normed y ON y.vid = c.vec_b
+)
+SELECT vec_a, vec_b, round(cos_raw, 6) AS cosine_q
+FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs within IVF cells (dedup family)."""
     return embedding_near_dups(
@@ -1831,6 +1918,7 @@ QUERIES = {
     "ann_topk_ivf_kmeans": q_ann_ivf_kmeans,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "dedup_embedding_cosine_kmeans": q_embedding_near_dups_kmeans,
+    "dedup_embedding_cosine_lsh": q_embedding_lsh,
     "text_token_stats": q_token_stats,
     "text_bpe_tokens": q_bpe_token_stats,
     "text_lang_id": q_lang_id,
@@ -1890,6 +1978,7 @@ ORACLES = {
     "ann_topk_ivf_kmeans": _sql_ann_ivf_kmeans(),
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "dedup_embedding_cosine_kmeans": _sql_embedding_near_dups_kmeans(),
+    "dedup_embedding_cosine_lsh": _sql_embedding_lsh(),
     "text_token_stats": SQL_TOKEN_STATS,
     "text_bpe_tokens": SQL_BPE_TOKEN_STATS,
     "text_lang_id": SQL_LANG_ID,

@@ -201,6 +201,62 @@ def test_blob_recall_curve_high_at_small_nprobe(spark):
     assert recall1 >= 0.9, recall1
 
 
+def test_cosine_lsh_recall_on_tight_blobs(spark):
+    """On tight blobs (cos >= ~0.99 within a cluster) the
+    random-hyperplane LSH must recover nearly all true near-dup pairs
+    — P(bit match) = 1 - theta/pi ~ 0.97, so each 8-bit band collides
+    w.p. ~0.8 and any-of-3 ~0.99."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        cosine_lsh_pairs,
+        make_blob_embeddings,
+    )
+
+    df = make_blob_embeddings(
+        spark, n=400, d=16, n_clusters=8, noise=0.02, seed=21
+    ).drop("label")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_lsh_pairs(df, dim=16, threshold=0.99).collect()
+    }
+    # exact truth: same-blob pairs all have cosine >= 0.99 by
+    # construction (noise 0.02 on unit centers)
+    from pdf_to_xls_vision_spark.functions.ann import embedding_near_dups
+
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dups(
+            df.withColumn("label", (F.col("vec_id") / 50).cast("int")),
+            threshold=0.99,
+        ).collect()
+    }
+    assert truth, "fixture must contain true near-dups"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, recall
+    # exact-precision contract: every emitted pair really clears the bar
+    assert got
+    assert all(
+        r.cosine_q >= 0.99
+        for r in cosine_lsh_pairs(df, dim=16, threshold=0.99).collect()
+    )
+
+
+def test_cosine_lsh_bucket_cap_and_determinism(spark):
+    """Degenerate buckets (here: every vector identical, so all
+    signatures collide) are dropped by the cap instead of exploding
+    quadratically; results are deterministic."""
+    from pdf_to_xls_vision_spark.functions.ann import cosine_lsh_pairs
+
+    rows = [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = cosine_lsh_pairs(df, dim=4, max_bucket_size=10)
+    assert capped.count() == 0  # one 40-deep bucket per band, all dropped
+    uncapped = cosine_lsh_pairs(df, dim=4, max_bucket_size=None)
+    assert uncapped.count() == 40 * 39 // 2
+    a = sorted(map(tuple, uncapped.collect()))
+    b = sorted(map(tuple, cosine_lsh_pairs(df, dim=4, max_bucket_size=None).collect()))
+    assert a == b
+
+
 def test_balanced_centroids_plug_into_ivf(spark):
     """Pre-trained balanced centroids drop into topk_ivf_kmeans and
     keep recall on the skewed corpus."""
