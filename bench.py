@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_lsh_pairs_capped",
     "dedup_clusters",
     "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
     "ann_topk_ivf",
     "ann_topk_ivf_kmeans",
     "text_quality_score",
