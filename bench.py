@@ -197,6 +197,40 @@ def main() -> None:
         "dup_clusters": n_multi_clusters,
     }
 
+    # Streaming-ingest throughput: the corpus streamed availableNow
+    # through foreachBatch with exactly-once (ingest_batch, bucket)
+    # commits + manifest rows — measures the full checkpoint/commit
+    # path (file pickup, extraction, dynamic-overwrite sink), not just
+    # a plan. 4 input files at maxFilesPerTrigger=1 -> 4 micro-batches.
+    import shutil
+    import tempfile
+
+    from pdf_to_xls_vision_spark.streaming.ingest import stream_extraction
+
+    stream_docs = min(BENCH_DOCS, 2000)
+    stream_in = tempfile.mkdtemp(prefix="ptxv_stream_bench_in_")
+    corpus.limit(stream_docs).repartition(4).write.mode("overwrite").parquet(
+        stream_in
+    )
+
+    def _stream_run() -> float:
+        base = tempfile.mkdtemp(prefix="ptxv_stream_bench_")
+        t0 = time.perf_counter()
+        q = stream_extraction(
+            spark,
+            stream_in,
+            os.path.join(base, "out"),
+            os.path.join(base, "ck"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+        elapsed = time.perf_counter() - t0
+        shutil.rmtree(base, ignore_errors=True)
+        return elapsed
+
+    _stream_run()  # warm-up (see _run_best)
+    t_stream = min(_stream_run() for _ in range(2))
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -221,6 +255,10 @@ def main() -> None:
                 "ivf_kmeans_recall_at_5": recall,
                 "ivf_balanced_recall_at_5_blobs": blob_recall,
                 "dedup_yield": dedup_yield,
+                "streaming_ingest_docs_per_sec": round(
+                    stream_docs / t_stream, 2
+                ),
+                "streaming_ingest_docs": stream_docs,
                 "master": f"local[{CPUS}]",
             }
         )
