@@ -202,6 +202,12 @@ def main() -> None:
     # commits + manifest rows — measures the full checkpoint/commit
     # path (file pickup, extraction, dynamic-overwrite sink), not just
     # a plan. 4 input files at maxFilesPerTrigger=1 -> 4 micro-batches.
+    # NOTE: at bench scale each ~500-doc micro-batch pays the ~12s
+    # fixed pipeline cost (stage barriers, worker-pool spin-up), so
+    # this figure is per-batch-overhead-dominated BY DESIGN — it
+    # prices the exactly-once machinery; the batch headline above is
+    # the single-batch amortized limit, and production trigger sizes
+    # interpolate between the two.
     import shutil
     import tempfile
 
