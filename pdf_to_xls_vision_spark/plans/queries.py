@@ -1013,6 +1013,205 @@ FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
 """
 
 
+#: Balanced-trainer registry parameters: balance_factor 1.1 puts the
+#: split cap at 1.1 * n/k, which real hot cells of the sf embeddings
+#: exceed (sf0.01: max cell 77 vs cap 68.75 — splits actually fire),
+#: while max_splits=2 keeps the unrolled oracle SQL bounded.
+BAL_SPLITS = 2
+BAL_FACTOR = 1.1
+
+
+def _kmeans_balanced_cte(
+    k: int, iterations: int, max_splits: int, balance_factor: float
+) -> str:
+    """Unrolled balanced k-means (functions/ann.py:kmeans_train_balanced)
+    as a DuckDB CTE chain on top of :func:`_kmeans_cte`'s Lloyd replay.
+
+    Each split round replays, bit-for-bit: fresh assignment + cell
+    sizes; hot cell = largest cell exceeding ``balance_factor * n / k``
+    (ties to the lowest index); 2-means on the hot cell's members
+    (maximin init from the min-vid member, ``iterations`` Lloyd rounds);
+    retire the emptiest other cell (ties to the lowest index); renumber
+    survivors in order with the two children appended at k-2, k-1; one
+    global refinement iteration. Rounds where no cell exceeds the cap
+    pass the centroids through unchanged (the Python ``break`` — once
+    no cell exceeds the cap, recomputing on unchanged centroids keeps
+    deciding no-split, so the cascade is equivalent). Ends with
+    ``basg_final`` (vid, qv, cell) against ``bcent{max_splits}``.
+    """
+    dist = (
+        "list_sum([(v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]) "
+        "FOR i IN range(1, len(v.qv) + 1)])"
+    )
+
+    def _asg(name: str, src: str, cent: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT vid, qv, cell FROM (
+    SELECT v.vid, v.qv, c.cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {dist}, c.cell) AS rn
+    FROM {src} v CROSS JOIN {cent} c
+  ) WHERE rn = 1
+)"""
+
+    def _lloyd_round(asg: str, sums: str, cent_in: str, cent_out: str) -> str:
+        return f"""{sums} AS MATERIALIZED (
+  SELECT cell, pos, floor(sum(val)::DOUBLE / count(*))::BIGINT AS cm
+  FROM (SELECT cell, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
+        FROM {asg})
+  GROUP BY cell, pos
+),
+{cent_out} AS MATERIALIZED (
+  SELECT cell, list(cm ORDER BY pos) AS cent FROM {sums} GROUP BY cell
+  UNION ALL
+  SELECT c.cell, c.cent FROM {cent_in} c
+  WHERE c.cell NOT IN (SELECT DISTINCT cell FROM {sums})
+)"""
+
+    parts = [_kmeans_cte(k, iterations)]
+    parts.append(
+        f"bcent0 AS MATERIALIZED (SELECT cell, cent FROM cent{iterations})"
+    )
+    for r in range(max_splits):
+        parts.append(_asg(f"basg{r}", "vecs", f"bcent{r}"))
+        parts.append(
+            f"""bsz{r} AS MATERIALIZED (
+  SELECT cell, count(*) AS n FROM basg{r} GROUP BY cell
+),
+bhot{r} AS MATERIALIZED (
+  SELECT cell FROM bsz{r}
+  WHERE n > ({balance_factor!r}::DOUBLE
+             * (SELECT count(*)::DOUBLE FROM vecs)) / {k}
+  ORDER BY n DESC, cell ASC LIMIT 1
+),
+bmem{r} AS MATERIALIZED (
+  SELECT a.vid, a.qv FROM basg{r} a JOIN bhot{r} h ON a.cell = h.cell
+),
+bm{r}f0 AS MATERIALIZED (SELECT qv AS c0 FROM bmem{r} ORDER BY vid LIMIT 1),
+bm{r}f1 AS MATERIALIZED (
+  SELECT v.qv AS c1 FROM bmem{r} v CROSS JOIN bm{r}f0
+  ORDER BY list_sum([(v.qv[i] - c0[i]) * (v.qv[i] - c0[i])
+                     FOR i IN range(1, len(v.qv) + 1)]) DESC,
+           v.vid ASC LIMIT 1
+),
+bmc{r}_0 AS MATERIALIZED (
+  SELECT 0::INT AS cell, c0 AS cent FROM bm{r}f0
+  UNION ALL
+  SELECT 1::INT AS cell, c1 AS cent FROM bm{r}f1
+)"""
+        )
+        for i in range(iterations):
+            parts.append(_asg(f"bmasg{r}_{i}", f"bmem{r}", f"bmc{r}_{i}"))
+            parts.append(
+                _lloyd_round(
+                    f"bmasg{r}_{i}", f"bmsums{r}_{i}",
+                    f"bmc{r}_{i}", f"bmc{r}_{i + 1}",
+                )
+            )
+        parts.append(
+            f"""bempty{r} AS MATERIALIZED (
+  SELECT c.cell FROM bcent{r} c CROSS JOIN bhot{r} h
+  LEFT JOIN bsz{r} s ON s.cell = c.cell
+  WHERE c.cell <> h.cell
+  ORDER BY coalesce(s.n, 0) ASC, c.cell ASC LIMIT 1
+),
+bnew{r} AS MATERIALIZED (
+  SELECT cell, cent FROM (
+    SELECT (row_number() OVER (ORDER BY c.cell) - 1)::INT AS cell,
+           c.cent AS cent
+    FROM bcent{r} c CROSS JOIN bhot{r} h CROSS JOIN bempty{r} e
+    WHERE c.cell <> h.cell AND c.cell <> e.cell
+  )
+  UNION ALL
+  SELECT ({k - 2} + m.cell)::INT AS cell, m.cent
+  FROM bmc{r}_{iterations} m CROSS JOIN bhot{r}
+)"""
+        )
+        parts.append(_asg(f"brasg{r}", "vecs", f"bnew{r}"))
+        parts.append(
+            _lloyd_round(f"brasg{r}", f"brsums{r}", f"bnew{r}", f"brc{r}")
+        )
+        parts.append(
+            f"""bcent{r + 1} AS MATERIALIZED (
+  SELECT cell, cent FROM brc{r} WHERE EXISTS (SELECT 1 FROM bhot{r})
+  UNION ALL
+  SELECT cell, cent FROM bcent{r} WHERE NOT EXISTS (SELECT 1 FROM bhot{r})
+)"""
+        )
+    parts.append(_asg("basg_final", "vecs", f"bcent{max_splits}"))
+    return ",\n".join(parts)
+
+
+def q_kmeans_cells_balanced(spark, sf_dir):
+    """The balanced-trainer assignment itself: hot-cell split + retire
+    rounds on top of Lloyd's, every vector tagged with its final cell —
+    the oracle directly checks the production quantizer the BENCH
+    recall curves advertise."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        assign_cells,
+        kmeans_train_balanced,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train_balanced(
+        emb, k=KMEANS_K, iterations=KMEANS_ITERS,
+        balance_factor=BAL_FACTOR, max_splits=BAL_SPLITS,
+    )
+    return assign_cells(emb, centroids).select("vec_id", "cell")
+
+
+def _sql_kmeans_cells_balanced() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+
+    return f"""
+WITH {_kmeans_balanced_cte(KMEANS_K, KMEANS_ITERS, BAL_SPLITS, BAL_FACTOR)}
+SELECT vid AS vec_id, cell FROM basg_final
+"""
+
+
+def q_ann_ivf_balanced(spark, sf_dir):
+    """IVF top-k over the BALANCED trainer's cells — the production
+    quantizer path (kmeans_train_balanced -> topk_ivf_kmeans with
+    pre-trained centroids)."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_train_balanced,
+        topk_ivf_kmeans,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    centroids = kmeans_train_balanced(
+        emb, k=KMEANS_K, iterations=KMEANS_ITERS,
+        balance_factor=BAL_FACTOR, max_splits=BAL_SPLITS,
+    )
+    return topk_ivf_kmeans(emb, probes, k=TOP_K, centroids=centroids)
+
+
+def _sql_ann_ivf_balanced() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+
+    return f"""
+WITH {_kmeans_balanced_cte(KMEANS_K, KMEANS_ITERS, BAL_SPLITS, BAL_FACTOR)},
+scored AS (
+  SELECT q.vid AS query_id, b.vid AS nbr_id,
+         list_sum([q.qv[i] * b.qv[i] FOR i IN range(1, len(q.qv) + 1)])::BIGINT AS qdot
+  FROM basg_final q JOIN basg_final b USING (cell)
+  WHERE q.vid < {N_PROBES} AND q.vid <> b.vid
+),
+ranked AS (
+  SELECT query_id, nbr_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, nbr_id, qdot
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 #: The driver embeddings are 64-dimensional (FIXTURES.md §6).
 EMB_DIM = 64
 
@@ -1697,16 +1896,22 @@ def _run_stream_over_events(spark, sf_dir, plan, tag):
 
     A streaming query inherently needs a sink + checkpoint directory;
     the per-call ``mkdtemp`` carries no state between runs and is the
-    one documented exception to the side-effect-free-builder rule. The
-    single ``collect()`` fetches one long (max event epoch) — driver
-    metadata, not data rows.
+    one documented exception to the side-effect-free-builder rule (the
+    directory is removed at interpreter exit — atexit, because the
+    returned relation reads it lazily). The single ``collect()``
+    fetches one long (max event epoch) — driver metadata, not data
+    rows.
     """
+    import atexit
+    import shutil
+
     from pdf_to_xls_vision_spark.streaming.aggregate import (  # noqa: F401
         sessionize_stream,
         windowed_event_counts,
     )
 
     base = tempfile.mkdtemp(prefix=f"ptxv_stream_{tag}_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
 
     ev = _t(spark, sf_dir, "events").withColumn("epoch", _epoch_ntz())
@@ -1741,7 +1946,12 @@ def _run_stream_over_events(spark, sf_dir, plan, tag):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            f"streaming parity run '{tag}' timed out after 600s — "
+            "refusing to compare a partial sink against the oracle"
+        )
     return spark.read.parquet(out_dir)
 
 
@@ -1916,6 +2126,8 @@ QUERIES = {
     "ann_topk_ivf": q_ann_ivf,
     "ann_kmeans_cells": q_kmeans_cells,
     "ann_topk_ivf_kmeans": q_ann_ivf_kmeans,
+    "ann_kmeans_cells_balanced": q_kmeans_cells_balanced,
+    "ann_topk_ivf_balanced": q_ann_ivf_balanced,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "dedup_embedding_cosine_kmeans": q_embedding_near_dups_kmeans,
     "dedup_embedding_cosine_lsh": q_embedding_lsh,
@@ -1976,6 +2188,8 @@ ORACLES = {
     "ann_topk_ivf": SQL_ANN_IVF,
     "ann_kmeans_cells": _sql_kmeans_cells(),
     "ann_topk_ivf_kmeans": _sql_ann_ivf_kmeans(),
+    "ann_kmeans_cells_balanced": _sql_kmeans_cells_balanced(),
+    "ann_topk_ivf_balanced": _sql_ann_ivf_balanced(),
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "dedup_embedding_cosine_kmeans": _sql_embedding_near_dups_kmeans(),
     "dedup_embedding_cosine_lsh": _sql_embedding_lsh(),

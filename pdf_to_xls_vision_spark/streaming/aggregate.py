@@ -104,11 +104,12 @@ _STATE_SCHEMA = (
 def merge_events_into_sessions(
     sessions: list[tuple[int, int, int, int]],
     events: list[tuple[int, int]],
+    gap_seconds: int = SESSION_GAP_SECONDS,
 ) -> list[tuple[int, int, int, int]]:
     """Pure event-time session merge (unit-testable, no Spark).
 
     ``sessions`` are (start, last, n, value_milli) intervals whose
-    internal events chain with gaps <= SESSION_GAP_SECONDS; ``events``
+    internal events chain with gaps <= ``gap_seconds``; ``events``
     are (epoch, value_milli) points. Returns the merged session list
     sorted by start: each event either extends a session (late events
     included — ``last`` only ever grows via max), bridges two sessions
@@ -120,7 +121,7 @@ def merge_events_into_sessions(
     merged.sort()
     out: list[tuple[int, int, int, int]] = []
     for s in merged:
-        if out and s[0] - out[-1][1] <= SESSION_GAP_SECONDS:
+        if out and s[0] - out[-1][1] <= gap_seconds:
             p = out[-1]
             out[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
         else:
@@ -128,14 +129,28 @@ def merge_events_into_sessions(
     return out
 
 
-def _sessionize_group_fn(tz: str):
-    """Build the stateful function with the session timezone in the
-    closure (Arrow hands the worker tz-naive *session-local* wall
+def _sessionize_group_fn(tz: str, gap_seconds: int = SESSION_GAP_SECONDS):
+    """Build the stateful function with the session timezone and gap in
+    the closure (Arrow hands the worker tz-naive *session-local* wall
     times; watermark / emitted rows need true epochs)."""
     zone = ZoneInfo(tz)
 
     def to_epoch(ts: pd.Series) -> list[int]:
-        loc = ts.dt.tz_localize(zone)
+        # DST edges of a zone like America/New_York make some local wall
+        # times ambiguous (fall-back hour maps to two instants) or
+        # nonexistent (spring-forward hour maps to none). The naive
+        # local times Arrow hands us have already lost which instant
+        # Spark meant, so resolve deterministically instead of raising
+        # mid-stream: ambiguous -> standard time (the later instant),
+        # nonexistent -> shifted forward past the DST jump. Replays make
+        # the identical choice, preserving replay determinism.
+        import numpy as np
+
+        loc = ts.dt.tz_localize(
+            zone,
+            ambiguous=np.zeros(len(ts), dtype=bool),
+            nonexistent="shift_forward",
+        )
         return (loc.dt.tz_convert("UTC").astype("int64") // 1_000_000_000).tolist()
 
     def from_epoch(epoch: int) -> pd.Timestamp:
@@ -163,21 +178,23 @@ def _sessionize_group_fn(tz: str):
                 epochs = to_epoch(b["ts"])
                 millis = [int(v * 1000 // 1) for v in b["value"]]
                 events.extend(zip(epochs, millis))
-            sessions = merge_events_into_sessions(sessions, events)
+            sessions = merge_events_into_sessions(
+                sessions, events, gap_seconds
+            )
 
         # A session is final once the watermark passes last + gap: any
         # future admissible event has epoch >= watermark > last + gap,
         # so it can neither extend nor bridge into the session.
         wm_sec = state.getCurrentWatermarkMs() // 1000
-        closed = [s for s in sessions if s[1] + SESSION_GAP_SECONDS < wm_sec]
-        held = [s for s in sessions if s[1] + SESSION_GAP_SECONDS >= wm_sec]
+        closed = [s for s in sessions if s[1] + gap_seconds < wm_sec]
+        held = [s for s in sessions if s[1] + gap_seconds >= wm_sec]
 
         if held:
             state.update(tuple(list(col) for col in zip(*held)))
             # wake when the watermark passes the earliest held session's
             # finalization point (margin keeps it strictly > watermark)
             state.setTimeoutTimestamp(
-                (min(s[1] for s in held) + SESSION_GAP_SECONDS) * 1000 + 1000
+                (min(s[1] for s in held) + gap_seconds) * 1000 + 1000
             )
         elif state.exists:
             state.remove()
@@ -204,6 +221,7 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     watermark: str = SESSION_WATERMARK,
+    gap_seconds: int = SESSION_GAP_SECONDS,
 ) -> DataFrame:
     """Custom stateful operator: per-user session assembly over an
     unbounded event stream (the streaming counterpart of the batch
@@ -214,7 +232,14 @@ def sessionize_stream(
     exactly when the watermark passes ``session_end + gap`` — never on
     a wall clock, so replaying the same input yields identical session
     rows whatever the micro-batch boundaries.
+
+    ``gap_seconds`` (inactivity split) and ``watermark`` (how long, in
+    event time, to wait for stragglers) are the two deployment knobs;
+    state per active user is bounded by ``ceil(watermark / gap) + 1``
+    sessions of 4 longs each.
     """
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be positive")
     tz = events.sparkSession.conf.get(
         "spark.sql.session.timeZone", "UTC"
     ) or "UTC"
@@ -222,7 +247,7 @@ def sessionize_stream(
         events.withWatermark(ts_col, watermark)
         .groupBy(user_col)
         .applyInPandasWithState(
-            _sessionize_group_fn(tz),
+            _sessionize_group_fn(tz, gap_seconds),
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",

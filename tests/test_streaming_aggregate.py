@@ -300,6 +300,99 @@ def test_sessionize_replay_deterministic_across_batchings(spark, tmp_path):
     ]
 
 
+def test_merge_events_custom_gap():
+    from pdf_to_xls_vision_spark.streaming.aggregate import (
+        merge_events_into_sessions,
+    )
+
+    # gap=60: 0 and 60 chain, 121 opens a new session
+    assert merge_events_into_sessions(
+        [], [(0, 1), (60, 1), (121, 1)], gap_seconds=60
+    ) == [(0, 60, 2, 2), (121, 121, 1, 1)]
+
+
+def test_sessionize_custom_gap_splits_sooner(spark, tmp_path):
+    """gap_seconds is a real operator knob: with a 60s gap, events two
+    minutes apart land in separate sessions (the default 30-min gap
+    would fuse them)."""
+    from pdf_to_xls_vision_spark.streaming.aggregate import sessionize_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    _write_events(
+        f"{in_dir}/f1.parquet",
+        [(5, T0, "c", 1.0), (5, T0 + timedelta(minutes=2), "c", 2.0)],
+    )
+    _write_events(
+        f"{in_dir}/f2.parquet", [(5, T0 + timedelta(hours=5), "c", 0.0)]
+    )
+    _run(
+        spark,
+        sessionize_stream(
+            _stream(spark, in_dir, max_files=1),
+            gap_seconds=60,
+            watermark="2 minutes",
+        ),
+        out_dir,
+        ckpt,
+    )
+    rows = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert rows == [
+        (T0, T0, 1),
+        (T0 + timedelta(minutes=2), T0 + timedelta(minutes=2), 1),
+    ]
+
+    with pytest.raises(ValueError, match="gap_seconds"):
+        sessionize_stream(_stream(spark, in_dir), gap_seconds=0)
+
+
+@pytest.mark.slow
+def test_sessionize_dst_fallback_hour_does_not_crash(spark, tmp_path):
+    """With a DST-observing session timezone, events whose wall-clock
+    time falls in the fall-back (ambiguous) hour must not kill the
+    stream: tz_localize resolves them deterministically to standard
+    time instead of raising AmbiguousTimeError."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        from pdf_to_xls_vision_spark.streaming.aggregate import sessionize_stream
+
+        in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+        os.makedirs(in_dir)
+        # 2024-11-03 01:00/01:30 local: the repeated (ambiguous) hour in
+        # America/New_York; 2024-03-10 03:30 sits just past the
+        # spring-forward jump
+        fall_back = datetime(2024, 11, 3, 1, 0, 0)
+        _write_events(
+            f"{in_dir}/f1.parquet",
+            [
+                (11, fall_back, "c", 1.0),
+                (11, fall_back + timedelta(minutes=30), "c", 1.0),
+                (12, datetime(2024, 3, 10, 3, 30, 0), "c", 1.0),
+            ],
+        )
+        _write_events(
+            f"{in_dir}/f2.parquet",
+            [(11, fall_back + timedelta(hours=10), "c", 0.0)],
+        )
+        _run(
+            spark,
+            sessionize_stream(_stream(spark, in_dir, max_files=1)),
+            out_dir,
+            ckpt,
+        )
+        rows = spark.read.parquet(out_dir).collect()
+        by_user = {r.user_id: r for r in rows}
+        assert by_user[11].n_events == 2
+        assert by_user[11].session_start == fall_back
+        assert 12 in by_user  # spring-forward-adjacent session flushed too
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 @pytest.mark.slow
 def test_sessionize_non_utc_session_timezone(spark, tmp_path):
     """Epochs are derived by localizing the Arrow wall-clock times with
