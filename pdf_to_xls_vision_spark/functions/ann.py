@@ -295,10 +295,15 @@ def kmeans_train_balanced(
     nothing from nprobe); bounding cell size with ``balance_factor``
     restores the recall-vs-nprobe trade (see BENCH recall curves).
 
-    Not oracle-replayed in SQL (the registered ``ann_kmeans_cells``
-    oracle covers the unbalanced trainer the query uses); covered by
-    pytest on skewed blob fixtures instead.
+    Oracle-replayed in SQL by ``ann_kmeans_cells_balanced`` /
+    ``ann_topk_ivf_balanced`` (plans/queries.py unrolls the split /
+    retire rounds in DuckDB CTEs) and covered by pytest on skewed blob
+    fixtures.
     """
+    if k < 2:
+        # the split step needs a second cell to retire; with k == 1 the
+        # emptiest-cell min() would be over an empty sequence
+        raise ValueError("kmeans_train_balanced requires k >= 2")
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
     ).persist()
@@ -490,32 +495,51 @@ def cosine_lsh_pairs(
         raise ValueError("n_bits must be a multiple of band_bits")
     planes = rp_planes(n_bits, dim)
 
-    qv = _qvec(F.col(vec_col))
-    bits = []
-    for plane in planes:
-        c = F.array(*[F.lit(int(w)).cast("bigint") for w in plane])
-        dot = F.aggregate(
-            F.zip_with(qv, c, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    # qv is projected as a REAL column first so the quantization pass
+    # (transform over the embedding) runs once per row; the whole
+    # signature is then one aggregate over a broadcast 2-D plane
+    # literal — a single pass over qv, not n_bits inlined re-scans.
+    qvecs = embeddings.select(
+        F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
+    )
+    planes_lit = F.array(
+        *[
+            F.array(*[F.lit(int(w)).cast("bigint") for w in plane])
+            for plane in planes
+        ]
+    )
+    sig = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col("qv"), p, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sigd = qvecs.select("vid", sig.alias("sig"))
 
+    # band key = the band's bits MSB-first (acc*2 + bit over the slice)
     n_bands = n_bits // band_bits
-    band_keys = []
-    for b in range(n_bands):
-        key = F.lit(0)
-        for i in range(band_bits):
-            key = key + bits[b * band_bits + i] * F.lit(1 << (band_bits - 1 - i))
-        band_keys.append(
-            F.struct(F.lit(b).alias("band"), key.cast("bigint").alias("key"))
+    band_keys = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.aggregate(
+                F.slice(F.col("sig"), b * band_bits + 1, band_bits),
+                F.lit(0).cast("bigint"),
+                lambda acc, bit: acc * 2 + bit,
+            ).alias("key"),
         )
-
-    tagged = embeddings.select(
-        F.col(id_col).alias("vid"),
-        qv.alias("qv"),
-        F.explode(F.array(*band_keys)).alias("bk"),
-    ).select("vid", "qv", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        for b in range(n_bands)
+    ]
+    # candidate discovery carries ONLY (vid, band, key) — the banded
+    # self-join and the pair dedup shuffle ids, never vectors
+    tagged = sigd.select(
+        "vid", F.explode(F.array(*band_keys)).alias("bk")
+    ).select("vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
@@ -538,25 +562,39 @@ def cosine_lsh_pairs(
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.col("a.qv").alias("qa"),
-            F.col("b.qv").alias("qb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
     if threshold is None:
         return pairs.select("vec_a", "vec_b")
-    scored = pairs.select(
-        "vec_a",
-        "vec_b",
-        (
-            _qdot(F.col("qa"), F.col("qb"))
-            / F.sqrt(
-                (
-                    _qdot(F.col("qa"), F.col("qa"))
-                    * _qdot(F.col("qb"), F.col("qb"))
-                ).cast("double")
-            )
-        ).alias("cos_raw"),
+    # exact verification: join the (few, deduped) candidate id pairs
+    # back to the quantized vectors + precomputed norms
+    qn = qvecs.withColumn("n2", _qdot(F.col("qv"), F.col("qv")))
+    scored = (
+        pairs.join(
+            qn.select(
+                F.col("vid").alias("vec_a"),
+                F.col("qv").alias("qa"),
+                F.col("n2").alias("na2"),
+            ),
+            "vec_a",
+        )
+        .join(
+            qn.select(
+                F.col("vid").alias("vec_b"),
+                F.col("qv").alias("qb"),
+                F.col("n2").alias("nb2"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                _qdot(F.col("qa"), F.col("qb"))
+                / F.sqrt((F.col("na2") * F.col("nb2")).cast("double"))
+            ).alias("cos_raw"),
+        )
     )
     return scored.filter(F.col("cos_raw") >= threshold).select(
         "vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine_q")
