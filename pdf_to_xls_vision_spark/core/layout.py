@@ -32,6 +32,7 @@ so the distributed run and the sequential oracle agree bit-for-bit.
 from __future__ import annotations
 
 import json
+from bisect import bisect_right
 
 import pandas as pd
 
@@ -86,23 +87,61 @@ def parse_page_words(words: list[dict]) -> list[list[list[str | None]]]:
     consumed at table_extraction.py:435-438). At most one table per
     page is emitted — the synthetic corpus lays out one grid per page,
     matching the reference prompt's "extract the largest/main table".
+
+    Fused hot path (the most-executed kernel in the engine — once per
+    text page): one tuple sort replaces the dict-key sorts, banding and
+    cell assembly run in the same sweep, and column lookup is a bisect
+    over the ascending anchors instead of a linear scan. Semantics are
+    identical to the spec composition ``band_rows`` + ``detect_columns``
+    + ``_column_of`` (kept above, exercised by tests/test_layout.py and
+    the sequential oracle): consecutive surviving anchors differ by
+    more than SNAP_TOLERANCE (the greedy cluster rule), so at most the
+    two anchors flanking ``x0`` can match, and the lower index — the
+    spec's first match — is checked first.
     """
     if not words:
         return []
-    anchors = detect_columns(words)
+    # (top, x0, text) tuples sort in C with the exact spec tie-breaks
+    tw = sorted((w["top"], w["x0"], w["t"]) for w in words)
+
+    # column anchors: greedy cluster over ascending x0, keep >= 3 aligned
+    xs = sorted(t[1] for t in tw)
+    anchors: list[float] = []
+    counts: list[int] = []
+    cur = None
+    for x in xs:
+        if cur is None or x - cur > SNAP_TOLERANCE:
+            anchors.append(x)
+            counts.append(1)
+            cur = x
+        else:
+            counts[-1] += 1
+    anchors = [a for a, c in zip(anchors, counts) if c >= MIN_WORDS_VERTICAL]
     if not anchors:
         return []
+    n_anchors = len(anchors)
+
     rows: list[list[str | None]] = []
-    for band in band_rows(words):
-        cells: list[list[str]] = [[] for _ in anchors]
-        any_aligned = False
-        for w in band:  # band is already (top, x0, text)-sorted
-            j = _column_of(w["x0"], anchors)
-            if j is not None:
-                cells[j].append(w["t"])
-                any_aligned = True
-        if any_aligned:
-            rows.append([" ".join(c) if c else None for c in cells])
+    band_anchor: float | None = None
+    cells: list[list[str]] | None = None
+    any_aligned = False
+    for top, x0, text in tw:
+        if band_anchor is None or top - band_anchor > SNAP_TOLERANCE:
+            if any_aligned:
+                rows.append([" ".join(c) if c else None for c in cells])
+            band_anchor = top
+            cells = [[] for _ in range(n_anchors)]
+            any_aligned = False
+        i = bisect_right(anchors, x0)
+        if i and x0 - anchors[i - 1] <= SNAP_TOLERANCE:
+            cells[i - 1].append(text)
+            any_aligned = True
+        elif i < n_anchors and anchors[i] - x0 <= SNAP_TOLERANCE:
+            cells[i].append(text)
+            any_aligned = True
+    if any_aligned:
+        rows.append([" ".join(c) if c else None for c in cells])
+
     if len(rows) < MIN_TABLE_ROWS:
         return []
     return [rows]
@@ -123,7 +162,7 @@ def prune_grid(
     if not table:
         return None
     header, data = table[0], table[1:]
-    rows = [r for r in data if any(v is not None for v in r)]
+    rows = [r for r in data if r.count(None) != len(r)]
     if not rows:
         return None
     keep = [j for j in range(len(header)) if any(r[j] is not None for r in rows)]
@@ -137,6 +176,20 @@ def prune_grid(
     )
 
 
+def parse_words_to_grids(
+    words: list[dict],
+) -> list[tuple[list[str | None], list[list[str | None]]]]:
+    """Parse already-decoded word boxes to pruned (header, rows) grids
+    — lets the extraction UDF decode each page's JSON payload exactly
+    once and share the words with the page-text/number pass."""
+    grids = []
+    for table in parse_page_words(words):
+        g = prune_grid(table)
+        if g is not None:
+            grids.append(g)
+    return grids
+
+
 def parse_text_page_grids(
     payload: str,
 ) -> list[tuple[list[str | None], list[list[str | None]]]]:
@@ -147,12 +200,7 @@ def parse_text_page_grids(
         words = doc.get("words", [])
     except Exception:
         return []
-    grids = []
-    for table in parse_page_words(words):
-        g = prune_grid(table)
-        if g is not None:
-            grids.append(g)
-    return grids
+    return parse_words_to_grids(words)
 
 
 def grid_to_frame(table: list[list[str | None]]) -> pd.DataFrame | None:

@@ -26,9 +26,13 @@ _NUMBER_RE = re.compile(NUMBER_PATTERN)
 NON_NUMERIC_COLUMNS = ("Row_Type", "Category", "Notes")
 
 
+_STRIP_DOLLAR_COMMA_PCT = str.maketrans("", "", "$,%")
+
+
 def normalize_number_token(token: str) -> str:
-    """Strip ``$ , %`` and map ``(x)`` -> ``-x`` (validation.py:26-32)."""
-    cleaned = token.replace("$", "").replace(",", "").replace("%", "")
+    """Strip ``$ , %`` and map ``(x)`` -> ``-x`` (validation.py:26-32).
+    One translate pass == the reference's three replace passes."""
+    cleaned = token.translate(_STRIP_DOLLAR_COMMA_PCT)
     if cleaned.startswith("(") and cleaned.endswith(")"):
         cleaned = "-" + cleaned[1:-1]
     return cleaned

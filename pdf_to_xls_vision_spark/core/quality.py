@@ -61,33 +61,40 @@ def grid_quality_issues(
 
     # Q3 — mode of per-row non-null counts; pandas Series.mode() sorts
     # ascending so ties resolve to the SMALLEST most-frequent value.
-    nn = [sum(1 for v in r if v is not None) for r in rows]
+    # (list.count(None) is a C-speed identity/equality scan; str cells
+    # never compare equal to None.)
+    null_counts = [r.count(None) for r in rows]
     freq: dict[int, int] = {}
-    for c in nn:
-        freq[c] = freq.get(c, 0) + 1
+    for c in null_counts:
+        nn_c = n_cols - c
+        freq[nn_c] = freq.get(nn_c, 0) + 1
     top = max(freq.values())
     common = min(k for k, v in freq.items() if v == top)
-    ratio = sum(1 for c in nn if c != common) / n_rows
+    common_nulls = n_cols - common
+    ratio = sum(1 for c in null_counts if c != common_nulls) / n_rows
     if ratio > 0.3:
         issues.append(f"Inconsistent column counts ({ratio:.1%} of rows differ)")
 
     # Q4
     total_cells = n_rows * n_cols
-    empty_ratio = (
-        sum(1 for r in rows for v in r if v is None) / total_cells
-        if total_cells
-        else 0.0
-    )
+    empty_ratio = sum(null_counts) / total_cells if total_cells else 0.0
     threshold = 0.6 if n_rows < 20 else 0.5
     if empty_ratio > threshold:
         issues.append(f"High empty cell ratio ({empty_ratio:.1%} empty cells)")
 
-    # Q5 — string-compared duplicates (None -> 'None', matching astype(str))
+    # Q5 — string-compared duplicates (None -> 'None', matching
+    # astype(str); cells here are already str | None, so the only
+    # mapping needed is None -> 'None', which makes a literal "None"
+    # string cell collide exactly as astype(str) does)
     if n_rows > 5:
         seen: set[tuple] = set()
         dup = 0
         for r in rows:
-            key = tuple("None" if v is None else str(v) for v in r)
+            key = (
+                tuple(r)
+                if r.count(None) == 0
+                else tuple("None" if v is None else v for v in r)
+            )
             if key in seen:
                 dup += 1
             else:

@@ -30,7 +30,7 @@ from pdf_to_xls_vision_spark.core.cleaning import (
     clean_vision_grid_rows,
     grid_cleanable,
 )
-from pdf_to_xls_vision_spark.core.layout import parse_text_page_grids
+from pdf_to_xls_vision_spark.core.layout import parse_words_to_grids
 from pdf_to_xls_vision_spark.core.numbers import extract_numbers
 from pdf_to_xls_vision_spark.core.quality import (
     grid_quality_issues,
@@ -113,14 +113,24 @@ def extract_text_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             batch["doc_id"], batch["page"], batch["kind"], batch["text"]
         ):
             page = int(page)
-            out.append(_sentinel(doc_id, page, 0, extract_numbers(_page_text(kind, text))))
-            if kind != "text":
+            # decode the payload ONCE per page; the word list feeds both
+            # the validation text/number pass and the layout parse (the
+            # double json.loads was ~18% of this kernel's profile)
+            words: list = []
+            if kind == "text" and text:
+                try:
+                    words = json.loads(text).get("words", [])
+                except Exception:
+                    words = []
+            page_text = " ".join(w.get("t", "") for w in words)
+            out.append(_sentinel(doc_id, page, 0, extract_numbers(page_text)))
+            if not words:
                 continue
             # list-form kernels: the grid is already str|None cells, so
             # no pandas frame is built on this (the hot) path — see
             # core/layout.prune_grid for the measured rationale.
             for t_idx, (header, rows) in enumerate(
-                parse_text_page_grids(text), start=1
+                parse_words_to_grids(words), start=1
             ):
                 issues = grid_quality_issues(header, rows)
                 out.append(
