@@ -1212,6 +1212,61 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+#: Probe-aware IVF candidate budget: the bound-pruned search visits at
+#: most this many cells per probe and is provably bit-identical to a
+#: fixed nprobe fan-out of the same width (functions/ann.py
+#: topk_ivf_probe_aware) — which is exactly what the oracle replays.
+PROBE_AWARE_NPROBE = 4
+
+
+def q_ann_ivf_probe_aware(spark, sf_dir):
+    """Bound-pruned multi-probe IVF search: nearest cell first, then
+    only candidate cells whose Cauchy-Schwarz upper bound can still
+    beat the running k-th best. Lossless vs nprobe=4 fan-out (the
+    oracle), cheaper in scanned cells."""
+    from pdf_to_xls_vision_spark.functions.ann import topk_ivf_probe_aware
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return topk_ivf_probe_aware(
+        emb, probes, k=TOP_K, nprobe_max=PROBE_AWARE_NPROBE
+    )
+
+
+def _sql_ann_ivf_probe_aware() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+
+    dist = (
+        "list_sum([(v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]) "
+        "FOR i IN range(1, len(v.qv) + 1)])"
+    )
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+pq AS (
+  SELECT vid, qv, cell FROM (
+    SELECT v.vid, v.qv, c.cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {dist}, c.cell) AS rn
+    FROM vecs v CROSS JOIN cent{KMEANS_ITERS} c
+    WHERE v.vid < {N_PROBES}
+  ) WHERE rn <= {PROBE_AWARE_NPROBE}
+),
+scored AS (
+  SELECT pq.vid AS query_id, b.vid AS nbr_id,
+         list_sum([pq.qv[i] * b.qv[i] FOR i IN range(1, len(pq.qv) + 1)])::BIGINT AS qdot
+  FROM pq JOIN asg_final b USING (cell)
+  WHERE pq.vid <> b.vid
+),
+ranked AS (
+  SELECT query_id, nbr_id, qdot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, nbr_id, qdot
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 #: The driver embeddings are 64-dimensional (FIXTURES.md §6).
 EMB_DIM = 64
 
@@ -2128,6 +2183,7 @@ QUERIES = {
     "ann_topk_ivf_kmeans": q_ann_ivf_kmeans,
     "ann_kmeans_cells_balanced": q_kmeans_cells_balanced,
     "ann_topk_ivf_balanced": q_ann_ivf_balanced,
+    "ann_topk_ivf_probe_aware": q_ann_ivf_probe_aware,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "dedup_embedding_cosine_kmeans": q_embedding_near_dups_kmeans,
     "dedup_embedding_cosine_lsh": q_embedding_lsh,
@@ -2190,6 +2246,7 @@ ORACLES = {
     "ann_topk_ivf_kmeans": _sql_ann_ivf_kmeans(),
     "ann_kmeans_cells_balanced": _sql_kmeans_cells_balanced(),
     "ann_topk_ivf_balanced": _sql_ann_ivf_balanced(),
+    "ann_topk_ivf_probe_aware": _sql_ann_ivf_probe_aware(),
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "dedup_embedding_cosine_kmeans": _sql_embedding_near_dups_kmeans(),
     "dedup_embedding_cosine_lsh": _sql_embedding_lsh(),

@@ -286,3 +286,72 @@ def test_balanced_centroids_plug_into_ivf(spark):
         ).collect()
     }
     assert len(got & brute) / len(brute) >= 0.9
+
+
+def test_probe_aware_equals_fixed_nprobe_and_prunes(spark):
+    """Bound-pruned search is LOSSLESS: identical rows to the fixed
+    nprobe_max fan-out, while visiting fewer cells on clusterable data
+    (the nearest cell usually settles the top-k)."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        kmeans_train,
+        make_blob_embeddings,
+        topk_ivf_kmeans,
+        topk_ivf_probe_aware,
+    )
+
+    blobs = make_blob_embeddings(
+        spark, n=600, d=16, n_clusters=8, seed=11
+    ).drop("label")
+    probes = blobs.filter(F.col("vec_id") % 40 == 0)
+    cents = kmeans_train(blobs, k=8, iterations=3)
+
+    fixed = sorted(
+        tuple(r)
+        for r in topk_ivf_kmeans(
+            blobs, probes, k=5, nprobe=4, centroids=cents
+        ).collect()
+    )
+    sink: list = []
+    aware = sorted(
+        tuple(r)
+        for r in topk_ivf_probe_aware(
+            blobs, probes, k=5, nprobe_max=4,
+            centroids=cents, scanned_cells_sink=sink,
+        ).collect()
+    )
+    assert aware == fixed and len(aware) > 0
+
+    scanned = {r.query_id: r.cells_scanned for r in sink[0].collect()}
+    n_probes = probes.count()
+    avg = sum(scanned.get(q, 1) for q in
+              {r[0] for r in fixed}) / max(n_probes, 1)
+    # pruning must actually fire: well under the 4-cell budget
+    assert avg < 4.0
+
+
+def test_probe_aware_keeps_boundary_ties(spark):
+    """On the driver-shaped near-orthogonal noise the bound rarely
+    prunes — the result must STILL be identical to the fixed fan-out
+    (the lossless claim is unconditional)."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        kmeans_train,
+        topk_ivf_kmeans,
+        topk_ivf_probe_aware,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    cents = kmeans_train(emb, k=8, iterations=2)
+    fixed = sorted(
+        tuple(r)
+        for r in topk_ivf_kmeans(
+            emb, probes, k=5, nprobe=3, centroids=cents
+        ).collect()
+    )
+    aware = sorted(
+        tuple(r)
+        for r in topk_ivf_probe_aware(
+            emb, probes, k=5, nprobe_max=3, centroids=cents
+        ).collect()
+    )
+    assert aware == fixed
