@@ -67,18 +67,72 @@ def _run(df) -> float:
     return time.perf_counter() - t0
 
 
-def _run_best(make_df, reps: int = 2, warmup: int = 1) -> float:
+_SPARK_FOR_METRICS = None
+
+
+def _executor_run_time_ms() -> int | None:
+    """Total executorRunTime (ms) over all completed stages, via the
+    UI REST API (bench enables the UI; retainedStages is raised so no
+    stage is evicted mid-delta). Executor CPU-side run time is stable
+    on this 2-3x-wall-noisy shared VM, so per-query regression triage
+    uses deltas of this figure, not wall."""
+    try:
+        import json as _json
+        import urllib.request
+
+        sc = _SPARK_FOR_METRICS.sparkContext
+        url = (
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+            "/stages?status=complete"
+        )
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return sum(st.get("executorRunTime", 0) for st in _json.load(r))
+    except Exception:
+        return None
+
+
+def _peak_jvm_heap() -> int | None:
+    """Peak JVM heap (bytes) across executors (the local-mode driver),
+    from the executors REST endpoint's peakMemoryMetrics."""
+    try:
+        import json as _json
+        import urllib.request
+
+        sc = _SPARK_FOR_METRICS.sparkContext
+        url = (
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/executors"
+        )
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return max(
+                e.get("peakMemoryMetrics", {}).get("JVMHeapMemory", 0)
+                for e in _json.load(r)
+            )
+    except Exception:
+        return None
+
+
+def _run_best(make_df, reps: int = 2, warmup: int = 1) -> tuple[float, float | None]:
     """``warmup`` unrecorded executions (first-scan footer reads +
     whole-stage-codegen JIT are one-time costs a long-running cluster
     never re-pays), then best of ``reps`` measured runs — the sandbox
     host injects random 10-20s stalls (shared-VM co-tenancy), and the
     minimum is the least-contended, reproducible steady-state figure.
-    Round 2 ran without the warm-up rep; per-query deltas vs
-    BENCH_r02 therefore include a one-time-JIT improvement on the
-    first query per input table (documented in NOTES_ROUND3.md)."""
+    Returns (best wall sec, best executor-run-time sec or None)."""
     for _ in range(warmup):
         _run(make_df())
-    return min(_run(make_df()) for _ in range(reps))
+    walls: list[float] = []
+    execs: list[float] = []
+    for _ in range(reps):
+        # build the plan FIRST: training/iteration jobs some builders
+        # run (k-means collects, CC rounds) are excluded from the wall
+        # figure, so the executor delta must span the same region
+        df = make_df()
+        e0 = _executor_run_time_ms()
+        walls.append(_run(df))
+        e1 = _executor_run_time_ms()
+        if e0 is not None and e1 is not None:
+            execs.append((e1 - e0) / 1000.0)
+    return min(walls), (min(execs) if execs else None)
 
 
 def main() -> None:
@@ -88,9 +142,21 @@ def main() -> None:
     from pdf_to_xls_vision_spark.session import get_spark
 
     spark = get_spark(
-        "bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        # UI on for the metrics REST API (executor run time + peak
+        # heap); retention raised so stage eviction can't corrupt the
+        # per-query executor-time deltas
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "50000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    global _SPARK_FOR_METRICS
+    _SPARK_FOR_METRICS = spark
 
     # corpus generation happens outside the timed region
     corpus_path = os.path.join(
@@ -104,19 +170,23 @@ def main() -> None:
     _run(corpus.select("doc_id"))
 
     timings: dict[str, float] = {}
+    exec_secs: dict[str, float | None] = {}
 
     def _ext():
         spark.catalog.clearCache()  # drop the prior run's persisted relations
         return run_extraction(corpus)
 
-    t_ext = _run_best(_ext)
+    t_ext, e_ext = _run_best(_ext)
     timings["extraction_pipeline"] = round(t_ext, 3)
+    exec_secs["extraction_pipeline"] = (
+        round(e_ext, 3) if e_ext is not None else None
+    )
     spark.catalog.clearCache()
 
     for name in HEADLINE:
-        timings[name] = round(
-            _run_best(lambda n=name: QUERIES[n](spark, SF_DIR)), 3
-        )
+        w, e = _run_best(lambda n=name: QUERIES[n](spark, SF_DIR))
+        timings[name] = round(w, 3)
+        exec_secs[name] = round(e, 3) if e is not None else None
 
     # IVF quality: recall@5 of trained-kmeans IVF vs exact brute force
     # over the bench embeddings (quantized scores on both sides)
@@ -197,17 +267,21 @@ def main() -> None:
         "dup_clusters": n_multi_clusters,
     }
 
-    # Streaming-ingest throughput: the corpus streamed availableNow
-    # through foreachBatch with exactly-once (ingest_batch, bucket)
-    # commits + manifest rows — measures the full checkpoint/commit
-    # path (file pickup, extraction, dynamic-overwrite sink), not just
-    # a plan. 4 input files at maxFilesPerTrigger=1 -> 4 micro-batches.
-    # NOTE: at bench scale each ~500-doc micro-batch pays the ~12s
-    # fixed pipeline cost (stage barriers, worker-pool spin-up), so
-    # this figure is per-batch-overhead-dominated BY DESIGN — it
-    # prices the exactly-once machinery; the batch headline above is
-    # the single-batch amortized limit, and production trigger sizes
-    # interpolate between the two.
+    # Streaming-ingest amortization curve: the corpus streamed
+    # availableNow through foreachBatch with exactly-once
+    # (ingest_batch, bucket) commits + manifest rows — the full
+    # checkpoint/commit path (file pickup, extraction,
+    # dynamic-overwrite sink). The input is 8 files; sweeping
+    # maxFilesPerTrigger in {1,2,4,8} varies the micro-batch size at
+    # constant total work, so the curve separates the per-batch fixed
+    # cost (plan re-execution, two sink commits, manifest write) from
+    # the per-doc cost. files1 (8 micro-batches) prices the
+    # exactly-once machinery; files8 (one batch over everything) is
+    # the amortized steady-state limit a production trigger size
+    # approaches — deployment guidance is to size triggers so batch
+    # work dominates the ~fixed seconds per batch. Single rep per
+    # point (the curve's SHAPE is the deliverable; per-point wall
+    # noise shifts levels, not the monotone fixed-cost trend).
     import shutil
     import tempfile
 
@@ -215,11 +289,11 @@ def main() -> None:
 
     stream_docs = min(BENCH_DOCS, 2000)
     stream_in = tempfile.mkdtemp(prefix="ptxv_stream_bench_in_")
-    corpus.limit(stream_docs).repartition(4).write.mode("overwrite").parquet(
+    corpus.limit(stream_docs).repartition(8).write.mode("overwrite").parquet(
         stream_in
     )
 
-    def _stream_run() -> float:
+    def _stream_run(mfpt: int) -> float:
         base = tempfile.mkdtemp(prefix="ptxv_stream_bench_")
         t0 = time.perf_counter()
         q = stream_extraction(
@@ -227,15 +301,46 @@ def main() -> None:
             stream_in,
             os.path.join(base, "out"),
             os.path.join(base, "ck"),
-            max_files_per_trigger=1,
+            max_files_per_trigger=mfpt,
         )
         q.awaitTermination()
         elapsed = time.perf_counter() - t0
         shutil.rmtree(base, ignore_errors=True)
         return elapsed
 
-    _stream_run()  # warm-up (see _run_best)
-    t_stream = min(_stream_run() for _ in range(2))
+    _stream_run(8)  # warm-up (worker pool + sink-path JIT)
+    stream_curve = {
+        f"files{mfpt}": round(stream_docs / _stream_run(mfpt), 2)
+        for mfpt in (1, 2, 4, 8)
+    }
+    t_stream = stream_docs / stream_curve["files1"]
+
+    # One 64k-doc extraction run (8x the headline corpus): evidences
+    # that headline docs/sec holds at a memory-pressure-relevant scale
+    # — no warm-up/min-of-N (one long run is its own amortization),
+    # peak JVM heap recorded to show no memory-growth cliff.
+    big = {}
+    big_docs = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_DOCS", "64000"))
+    if big_docs > 0:
+        big_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"),
+            f"ptxv_bench_corpus_{big_docs}.parquet",
+        )
+        if not os.path.exists(big_path):
+            write_corpus_parquet(big_path, big_docs)
+        big_corpus = spark.read.parquet(big_path)
+        spark.catalog.clearCache()
+        t_big = _run(run_extraction(big_corpus))
+        spark.catalog.clearCache()
+        peak = _peak_jvm_heap()
+        big = {
+            "big_run_docs": big_docs,
+            "big_run_sec": round(t_big, 3),
+            "big_run_docs_per_sec": round(big_docs / t_big, 2),
+            "peak_jvm_heap_gib": (
+                round(peak / (1 << 30), 2) if peak else None
+            ),
+        }
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -255,6 +360,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # executor-run-time (sum over tasks, min across reps):
+                # the contention-immune figure to triage regressions
+                # on this 2-3x-wall-noisy shared VM
+                "queries_executor_sec": exec_secs,
                 "sf": sf_val,
                 "docs_per_sec": round(BENCH_DOCS / t_ext, 2),
                 "bench_docs": BENCH_DOCS,
@@ -265,6 +374,16 @@ def main() -> None:
                     stream_docs / t_stream, 2
                 ),
                 "streaming_ingest_docs": stream_docs,
+                # docs/sec vs micro-batch size (maxFilesPerTrigger over
+                # an 8-file input): separates per-batch fixed cost from
+                # per-doc cost; filesN with N=8 is the amortized limit
+                "streaming_ingest_curve": stream_curve,
+                **big,
+                # protocol tag so cross-round deltas are compared
+                # like-for-like: r01/r02 ran bestof2 with NO warm-up
+                # rep (their figures include one-time JIT/footer-scan
+                # cost); r03+ run warmup1_bestof2 (steady state).
+                "timing_protocol": "warmup1_bestof2",
                 "master": f"local[{CPUS}]",
             }
         )
