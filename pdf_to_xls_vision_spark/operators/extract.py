@@ -30,7 +30,7 @@ from pdf_to_xls_vision_spark.core.cleaning import (
     clean_vision_grid_rows,
     grid_cleanable,
 )
-from pdf_to_xls_vision_spark.core.layout import parse_words_to_grids
+from pdf_to_xls_vision_spark.core.layout import parse_words_to_grids, prune_grid
 from pdf_to_xls_vision_spark.core.numbers import extract_numbers
 from pdf_to_xls_vision_spark.core.quality import (
     grid_quality_issues,
@@ -60,7 +60,10 @@ _COLS = [
 def _stringify(v) -> str | None:
     """Null-preserving cell textualization: None stays None (so NaN
     semantics — notna checks in merge/notes — survive the Arrow hop),
-    everything else becomes ``str(v)``."""
+    everything else becomes ``str(v)``. The str fast path first: most
+    cells are strings and a str is never NA."""
+    if isinstance(v, str):
+        return v
     if v is None or (isinstance(v, float) and v != v):
         return None
     if pd.isna(v):
@@ -180,14 +183,19 @@ def make_vision_extractor(backend: VisionBackend | None = None):
                 df = parse_vision_csv(csv)
                 if df is None:
                     continue
-                df = df.dropna(how="all").dropna(axis=1, how="all")
-                if df.empty:
-                    continue
-                # stringify once, then clean on the grid (cleaning rules
-                # are identity on digit-only strings, so this matches
-                # clean-then-stringify; uncleanable frames pass dirty,
-                # mirroring the reference's exception swallow)
+                # stringify once, then prune + clean on the grid:
+                # _stringify maps exactly the isna set to None, so the
+                # list-form prune_grid (rows-then-columns) reproduces
+                # dropna(how='all') twice at a fraction of the pandas
+                # frame cost; cleaning rules are identity on digit-only
+                # strings, so stringify-then-clean matches clean-then-
+                # stringify; uncleanable frames pass dirty, mirroring
+                # the reference's exception swallow
                 header, rows = _frame_payload(df)
+                pruned = prune_grid([header, *rows])
+                if pruned is None:
+                    continue
+                header, rows = pruned
                 if grid_cleanable(header):
                     rows = clean_vision_grid_rows(header, rows)
                 if not rows:
