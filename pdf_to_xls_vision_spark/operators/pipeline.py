@@ -223,7 +223,7 @@ def run_extraction(
     force_vision: bool = False,
     backend: VisionBackend | None = None,
     page_partitions: int | None = None,
-    persist_pages: bool = True,
+    persist_pages: bool = False,
     persisted_sink: list | None = None,
     merge_strategy: str = "apply_in_pandas",
 ) -> DataFrame:
@@ -247,10 +247,18 @@ def run_extraction(
     revisit only if the input is pre-bucketed into core-sized files.
 
     ``persist_pages``: the retry pass (R2) re-reads the text pages of
-    low-quality docs; locally we persist the page relation
-    (MEMORY_AND_DISK). At the 100 TB design point prefer
-    ``persist_pages=False`` — recomputing from the columnar scan is
-    cheaper than caching the corpus.
+    low-quality docs, and the parse output feeds both the retry
+    aggregate and the kept branch — persisting either
+    (MEMORY_AND_DISK) trades recompute for cache serialization.
+    Through round 3 (slower parse kernels) persisting won; after the
+    round-4 kernel vectorization the A/B FLIPPED — on the 8000-doc
+    corpus persist costs MORE executor time than the recompute it
+    saves (interleaved min-of-2 runs: no-persist 244/269 core-s vs
+    persist 411/302, wall 12.2/13.5s vs 18.0/13.6s), so the default
+    is now False. This is also the 100 TB-right default: recomputing
+    from the columnar scan beats caching the corpus. Pass True (or
+    "text_ext_only") to restore caching for retry-heavy workloads
+    with expensive parse backends.
 
     ``persisted_sink``: callers that invoke this repeatedly (the
     checkpointed commit loop, streaming micro-batches) pass a list to
