@@ -43,18 +43,37 @@ from pdf_to_xls_vision_spark.core.vision import (
     stub_pixels,
 )
 
+#: The table payload travels as ONE compact JSON string column
+#: (``grid`` = {"h": header, "r": rows}) instead of nested
+#: array<string> / array<array<string>> columns: a measured A/B on the
+#: doc_id exchange + applyInPandas hop put the nested-array form at
+#: ~3x the executor cost of the single string (Arrow/pandas build one
+#: Python object per cell for nested arrays; a string column is one
+#: buffer). json round-trips str|None cells exactly, and the merge
+#: side decodes once per table row.
 EXTRACTION_SCHEMA = (
     "doc_id string, page int, table_id int, media_ref string, "
-    "header array<string>, rows array<array<string>>, "
+    "grid string, "
     "quality array<string>, rotation_corrected int, is_table boolean, "
     "page_numbers array<string>"
 )
 
 _COLS = [
     "doc_id", "page", "table_id", "media_ref",
-    "header", "rows", "quality", "rotation_corrected", "is_table",
+    "grid", "quality", "rotation_corrected", "is_table",
     "page_numbers",
 ]
+
+
+def encode_grid(header: list, rows: list) -> str:
+    return json.dumps(
+        {"h": header, "r": rows}, ensure_ascii=False, separators=(",", ":")
+    )
+
+
+def decode_grid(grid: str) -> tuple[list, list]:
+    d = json.loads(grid)
+    return d["h"], d["r"]
 
 
 def _stringify(v) -> str | None:
@@ -91,15 +110,7 @@ def _page_text(kind: str, text: str) -> str:
 
 
 def _sentinel(doc_id: str, page: int, rot: int, page_numbers: list[str]) -> list:
-    return [doc_id, page, 0, "", [], [], [], rot, False, page_numbers]
-
-
-def _table_row(
-    doc_id: str, page: int, table_id: int, media_ref: str,
-    df: pd.DataFrame, quality: list[str],
-) -> list:
-    header, rows = _frame_payload(df)
-    return [doc_id, page, table_id, media_ref, header, rows, quality, 0, True, []]
+    return [doc_id, page, 0, "", None, [], rot, False, page_numbers]
 
 
 def extract_text_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,7 +148,8 @@ def extract_text_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             ):
                 issues = grid_quality_issues(header, rows)
                 out.append(
-                    [doc_id, page, t_idx, "", header, rows, issues, 0, True, []]
+                    [doc_id, page, t_idx, "", encode_grid(header, rows),
+                     issues, 0, True, []]
                 )
         yield pd.DataFrame(out, columns=_COLS)
 
@@ -201,7 +213,8 @@ def make_vision_extractor(backend: VisionBackend | None = None):
                 if not rows:
                     continue
                 out.append(
-                    [doc_id, page, 1, ref, header, rows, [], 0, True, []]
+                    [doc_id, page, 1, ref, encode_grid(header, rows),
+                     [], 0, True, []]
                 )
             yield pd.DataFrame(out, columns=_COLS)
 

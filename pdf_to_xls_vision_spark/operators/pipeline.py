@@ -33,6 +33,7 @@ from pdf_to_xls_vision_spark.core.spans import (
 from pdf_to_xls_vision_spark.operators.classify import route_expr
 from pdf_to_xls_vision_spark.operators.extract import (
     EXTRACTION_SCHEMA,
+    decode_grid,
     extract_text_pages,
     make_vision_extractor,
 )
@@ -99,9 +100,11 @@ def _doc_validation(page_number_lists, grids) -> dict:
 
 
 #: extraction-row columns the merge consumes (flat — nested-struct
-#: collect_list was measured 4x slower through Arrow->pandas)
+#: collect_list was measured 4x slower through Arrow->pandas; the
+#: table payload itself travels as the single JSON `grid` string, see
+#: operators/extract.EXTRACTION_SCHEMA for the measured rationale)
 _MERGE_COLS = [
-    "doc_id", "page", "table_id", "media_ref", "header", "rows",
+    "doc_id", "page", "table_id", "media_ref", "grid",
     "rotation_corrected", "is_table", "page_numbers", "quality_retried",
 ]
 
@@ -122,16 +125,18 @@ def _merge_doc_arrays(cols: dict, s: int, e: int) -> dict:
         (i for i in range(s, e) if is_table[i]),
         key=lambda i: (int(cols["page"][i]), int(cols["table_id"][i])),
     )
-    records = [
-        GridRecord(
-            header=list(cols["header"][i]),
-            rows=[list(x) for x in cols["rows"][i]],
-            page=int(cols["page"][i]),
-            table_id=int(cols["table_id"][i]),
-            media_ref=cols["media_ref"][i],
+    records = []
+    for i in tbl_idx:
+        header, rows = decode_grid(cols["grid"][i])
+        records.append(
+            GridRecord(
+                header=header,
+                rows=rows,
+                page=int(cols["page"][i]),
+                table_id=int(cols["table_id"][i]),
+                media_ref=cols["media_ref"][i],
+            )
         )
-        for i in tbl_idx
-    ]
     merged = merge_grid_continuations(records)
     spans = serialize_grid_spans(merged)
     rollups = sum(grid_rollup_rows(r.header, r.rows) for r in merged)
