@@ -148,6 +148,9 @@ def _log(msg: str) -> None:
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
+_T_START = time.perf_counter()
+
+
 def main() -> None:
     from pdf_to_xls_vision_spark.corpus import write_corpus_parquet
     from pdf_to_xls_vision_spark.operators.pipeline import run_extraction
@@ -368,6 +371,18 @@ def main() -> None:
     _log("big run")
     big = {}
     big_docs = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_DOCS", "64000"))
+    # Time-box: the one JSON line is the primary deliverable. Under a
+    # host storm (documented 10-20s random stalls) the preceding
+    # phases can run 2-3x long; if the budget is already spent, skip
+    # the optional 64k run rather than risk the whole bench being
+    # killed with nothing on stdout.
+    budget_sec = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_BUDGET", "1100"))
+    if time.perf_counter() - _T_START > budget_sec:
+        _log(
+            f"skipping big run: {time.perf_counter() - _T_START:.0f}s "
+            f"elapsed > {budget_sec}s budget (contended host)"
+        )
+        big_docs = 0
     if big_docs > 0:
         big_path = os.path.join(
             os.environ.get("TMPDIR", "/tmp"),
