@@ -59,6 +59,8 @@ HEADLINE = [
     "text_quality_score",
     "text_lang_id",
     "text_bpe_merge_tokens",
+    "text_repetition_filters",
+    "dedup_paragraph_chunks",
 ]
 
 

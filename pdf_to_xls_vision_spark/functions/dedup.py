@@ -243,3 +243,89 @@ def jaccard_pairs(
             F.round(F.col("n_inter") / F.col("n_union"), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (paragraph-analog) global exact dedup — C4-style
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 3  # chunking unit for the corpus-global pass
+
+
+def dedup_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_TOKENS,
+) -> DataFrame:
+    """Corpus-global chunk-level exact dedup (the C4 "three-sentence
+    span" rule re-expressed for a whitespace corpus): the token stream
+    of every document is cut into consecutive ``chunk_tokens``-token
+    chunks; across the whole corpus only the FIRST occurrence of each
+    chunk text survives (first = smallest ``(doc_id, position)``), and
+    each document is reassembled from its surviving chunks in order.
+
+    Returns ``(doc_id, clean_text, n_chunks, n_dropped)`` for every
+    input document (documents that lose all chunks keep an empty
+    ``clean_text``).
+
+    Scale shape: one shuffle keyed by chunk text for the first-writer
+    window (same key profile as exact dedup — boilerplate chunks are
+    the hot keys, and each contributes one surviving row), then one
+    shuffle keyed by ``doc_id`` for reassembly, then one join back to
+    the id relation (whose ``n_chunks`` is computed map-side from the
+    token count — never aggregated from the exploded relation). No
+    corpus-global window, no driver state; this is the shape the C4
+    pipeline uses at web scale. On real paragraph-structured text, swap
+    the tokenizer for a ``split(text, '\\n\\n')`` and the operator is
+    unchanged.
+    """
+    ts = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ts.alias("ts"),
+        F.ceil(F.size(ts) / F.lit(chunk_tokens)).cast("int").alias("n_chunks"),
+    )
+    chunks_arr = F.when(
+        F.col("n_chunks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1),
+            lambda j: F.array_join(
+                F.slice("ts", j * chunk_tokens + 1, chunk_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = base.select(
+        "doc_id", F.posexplode(chunks_arr).alias("pos", "chunk")
+    )
+
+    from pyspark.sql.window import Window
+
+    first_writer = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(first_writer))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            (
+                F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -122,6 +122,99 @@ def content_fingerprint_expr(text_col: str | Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style n-gram repetition filters (Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+#: keep-thresholds for the repetition filter; a doc dominated by one
+#: 2-gram or by repeated 3-grams is boilerplate/spam for LLM training.
+TOP_2GRAM_MAX_SHARE = 0.20
+DUP_3GRAM_MAX_FRAC = 0.30
+
+
+def _word_ngrams(ts: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array, empty when the doc
+    is shorter than ``n`` (guards the descending-``sequence`` trap)."""
+    return F.when(
+        F.size(ts) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - (n - 1)),
+            lambda i: F.array_join(F.slice(ts, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document n-gram repetition metrics, the Gopher quality rules
+    re-expressed for a whitespace corpus:
+
+    - ``top_2gram_share`` — fraction of all word 2-grams accounted for
+      by the single most frequent 2-gram,
+    - ``dup_3gram_frac`` — fraction of 3-gram instances whose gram
+      occurs more than once in the document,
+    - ``keep`` — both metrics under their thresholds.
+
+    Scale shape: BOTH gram widths ride one explode and one count pass —
+    a single shuffle keyed by ``(doc_id, n, gram)`` (doc-local keys, so
+    skew is bounded by the largest single document, the same guarantee
+    as the MinHash shingle pass), one re-aggregation by ``doc_id``, and
+    one join back to the id relation for short-doc zero rows. No window
+    over the full corpus, no driver state. Reference parity: the
+    reference gates *tables* on repetition (quality_check.py
+    duplicate-row rule); this is the document-level generalization an
+    LLM-curation user needs.
+    """
+    ts = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), ts.alias("ts"))
+
+    def tag(n: int) -> Column:
+        return F.transform(
+            _word_ngrams(F.col("ts"), n),
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("g")
+            ),
+        )
+
+    tagged = base.select(
+        "doc_id", F.explode(F.concat(tag(2), tag(3))).alias("t")
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    counts = tagged.groupBy("doc_id", "n", "g").agg(F.count("*").alias("cnt"))
+    is2, is3 = F.col("n") == 2, F.col("n") == 3
+    stats = counts.groupBy("doc_id").agg(
+        F.max(F.when(is2, F.col("cnt"))).alias("g2_top"),
+        F.sum(F.when(is2, F.col("cnt"))).alias("g2_total"),
+        F.sum(F.when(is3, F.col("cnt"))).alias("g3_total"),
+        F.sum(
+            F.when(is3 & (F.col("cnt") > 1), F.col("cnt")).otherwise(0)
+        ).alias("g3_dup"),
+    )
+    joined = base.select("doc_id").join(stats, "doc_id", "left")
+    top2 = F.round(
+        F.when(
+            F.col("g2_total") > 0, F.col("g2_top") / F.col("g2_total")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    dup3 = F.round(
+        F.when(
+            F.col("g3_total") > 0, F.col("g3_dup") / F.col("g3_total")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.col("g2_total"), F.lit(0)).alias("n_2grams"),
+        top2.alias("top_2gram_share"),
+        dup3.alias("dup_3gram_frac"),
+        (
+            (top2 <= F.lit(TOP_2GRAM_MAX_SHARE))
+            & (dup3 <= F.lit(DUP_3GRAM_MAX_FRAC))
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # winnowing fingerprint — rolling hash, pandas UDF (sequential per doc)
 # ---------------------------------------------------------------------------
 

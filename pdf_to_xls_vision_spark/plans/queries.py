@@ -1609,6 +1609,196 @@ SELECT doc_id, {h60_sql('text', 'fp')} AS fingerprint FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style n-gram repetition filters (functions/text.ngram_repetition)
+# ---------------------------------------------------------------------------
+
+
+def q_text_repetition(spark, sf_dir):
+    """Per-doc top-2-gram share + duplicate-3-gram fraction + keep flag
+    — the Gopher repetition rules over the whitespace corpus. One
+    shuffle keyed by (doc_id, gram); skew bounded by the largest doc."""
+    from pdf_to_xls_vision_spark.functions.text import ngram_repetition
+
+    return ngram_repetition(_t(spark, sf_dir, "documents"))
+
+
+def _sql_text_repetition() -> str:
+    from pdf_to_xls_vision_spark.functions.text import (
+        DUP_3GRAM_MAX_FRAC,
+        TOP_2GRAM_MAX_SHARE,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+g2 AS (
+  SELECT t.doc_id, t.ts[r.i] || ' ' || t.ts[r.i + 1] AS g
+  FROM toks t, UNNEST(range(1, len(t.ts))) AS r(i)
+),
+c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+a2 AS (
+  SELECT doc_id, max(cnt) AS top2, sum(cnt) AS tot2 FROM c2 GROUP BY 1
+),
+g3 AS (
+  SELECT t.doc_id, array_to_string(t.ts[r.i : r.i + 2], ' ') AS g
+  FROM toks t, UNNEST(range(1, len(t.ts) - 1)) AS r(i)
+),
+c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+a3 AS (
+  SELECT doc_id, sum(cnt) AS tot3,
+         sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3
+  FROM c3 GROUP BY 1
+),
+m AS (
+  SELECT d.doc_id,
+         coalesce(a2.tot2, 0)::BIGINT AS n_2grams,
+         round(CASE WHEN coalesce(a2.tot2, 0) > 0
+                    THEN a2.top2 / CAST(a2.tot2 AS DOUBLE) ELSE 0 END, 6)
+           AS top_2gram_share,
+         round(CASE WHEN coalesce(a3.tot3, 0) > 0
+                    THEN a3.dup3 / CAST(a3.tot3 AS DOUBLE) ELSE 0 END, 6)
+           AS dup_3gram_frac
+  FROM documents d
+  LEFT JOIN a2 USING (doc_id)
+  LEFT JOIN a3 USING (doc_id)
+)
+SELECT doc_id, n_2grams, top_2gram_share, dup_3gram_frac,
+       (top_2gram_share <= {TOP_2GRAM_MAX_SHARE}
+        AND dup_3gram_frac <= {DUP_3GRAM_MAX_FRAC}) AS keep
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (functions/scrub.pii_scrub) — deterministic PII is appended
+# to the corpus text identically on BOTH sides (the synthetic documents
+# carry none), so the redaction regexes are exercised on varying digits
+# ---------------------------------------------------------------------------
+
+
+def _pii_augmented_docs(spark, sf_dir):
+    d = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@mail.example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((d % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(" host 10."), (d % 256).cast("string"),
+                F.lit(".0."), (d % 200).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", pii_text.alias("text")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """Email/phone/IPv4 redaction + per-category counts — map-only JVM
+    regex expressions, zero shuffle (scan-speed at 100 TB)."""
+    from pdf_to_xls_vision_spark.functions.scrub import pii_scrub
+
+    return pii_scrub(_pii_augmented_docs(spark, sf_dir))
+
+
+def _sql_pii_scrub() -> str:
+    from pdf_to_xls_vision_spark.functions.scrub import (
+        EMAIL_PATTERN,
+        EMAIL_TOKEN,
+        IP_TOKEN,
+        IPV4_PATTERN,
+        PHONE_PATTERN,
+        PHONE_TOKEN,
+    )
+
+    return f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                      || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' host 10.' || (doc_id % 256) || '.0.' || (doc_id % 200)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g'),
+           '{PHONE_PATTERN}', '{PHONE_TOKEN}', 'g'),
+         '{IPV4_PATTERN}', '{IP_TOKEN}', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_PATTERN}')) AS n_phones,
+       len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS n_ips
+FROM pii
+"""
+
+
+# ---------------------------------------------------------------------------
+# chunk-level corpus-global exact dedup (functions/dedup.dedup_chunks)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_chunks(spark, sf_dir):
+    """C4-style first-writer-wins chunk dedup with per-doc reassembly.
+    Two shuffles: by chunk text (first-occurrence window), by doc_id
+    (reassembly) — the web-scale paragraph-dedup shape."""
+    from pdf_to_xls_vision_spark.functions.dedup import dedup_chunks
+
+    return dedup_chunks(_t(spark, sf_dir, "documents"))
+
+
+def _sql_dedup_chunks() -> str:
+    from pdf_to_xls_vision_spark.functions.dedup import CHUNK_TOKENS
+
+    c = CHUNK_TOKENS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+chunks AS (
+  SELECT t.doc_id, r.j AS pos,
+         array_to_string(t.ts[{c} * r.j + 1 : {c} * r.j + {c}], ' ') AS chunk
+  FROM toks t,
+       UNNEST(range(0, CAST(ceil(len(t.ts) / {c}.0) AS INT))) AS r(j)
+),
+kept AS (
+  SELECT doc_id, pos, chunk FROM chunks
+  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY 1
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(t.n_chunks, 0)::BIGINT AS n_chunks,
+       (coalesce(t.n_chunks, 0) - coalesce(a.n_kept, 0))::BIGINT AS n_dropped
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # HTML boilerplate strip / main content (north-rule parenthetical)
 # ---------------------------------------------------------------------------
 
@@ -2194,6 +2384,9 @@ QUERIES = {
     "curation_token_budget": q_token_budget_sample,
     "curation_token_budget_sharded": q_token_budget_sample_sharded,
     "text_fingerprint": q_fingerprint,
+    "text_repetition_filters": q_text_repetition,
+    "text_pii_scrub": q_pii_scrub,
+    "dedup_paragraph_chunks": q_dedup_chunks,
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
     "agg_pricing_rollup": q_pricing_rollup,
@@ -2257,6 +2450,9 @@ ORACLES = {
     "curation_token_budget": _sql_token_budget_sample(),
     "curation_token_budget_sharded": _sql_token_budget_sample(sharded=True),
     "text_fingerprint": SQL_FINGERPRINT,
+    "text_repetition_filters": _sql_text_repetition(),
+    "text_pii_scrub": _sql_pii_scrub(),
+    "dedup_paragraph_chunks": _sql_dedup_chunks(),
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "agg_pricing_summary": SQL_PRICING_SUMMARY,
     "agg_pricing_rollup": SQL_PRICING_ROLLUP,

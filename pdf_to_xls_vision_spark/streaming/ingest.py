@@ -69,9 +69,29 @@ def _commit_micro_batch(
         .partitionBy("ingest_batch", "bucket")
         .save(_spans_dir(out_dir))
     )
+    # Aggregate the manifest metrics from the parquet JUST WRITTEN, not
+    # from `chunk`: the extraction plan is lazy, so `chunk.groupBy`
+    # would re-execute the whole UDF pipeline a second time per
+    # micro-batch (with persist_pages=False nothing is cached — this
+    # exact re-execution was the dominant per-batch fixed cost behind
+    # the 47-vs-451 docs/sec streaming gap in BENCH_r03). The read-back
+    # is a column-pruned scan of the five small metric columns of this
+    # batch's partition only; the data is identical by construction.
+    for df in persisted:  # the spans write was the only plan execution
+        df.unpersist()
+    spark = batch_df.sparkSession
+    batch_part = os.path.join(
+        _spans_dir(out_dir), f"ingest_batch={batch_id}"
+    )
+    if not os.path.isdir(batch_part.removeprefix("file:")):
+        return  # empty micro-batch: nothing written, nothing to commit
+    written = (
+        spark.read.option("basePath", _spans_dir(out_dir))
+        .parquet(batch_part)
+    )
     now = int(time.time())
     metrics = (
-        chunk.groupBy("ingest_batch", "bucket")
+        written.groupBy("ingest_batch", "bucket")
         .agg(
             F.count("*").alias("docs"),
             F.sum("pages_parsed").alias("pages_parsed"),
@@ -99,8 +119,6 @@ def _commit_micro_batch(
         .partitionBy("ingest_batch")
         .save(_manifest_dir(out_dir))
     )
-    for df in persisted:
-        df.unpersist()
 
 
 def stream_extraction(
