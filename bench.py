@@ -61,6 +61,9 @@ HEADLINE = [
     "text_bpe_merge_tokens",
     "text_repetition_filters",
     "dedup_paragraph_chunks",
+    "join_asof_purchase_view",
+    "join_range_error_context",
+    "window_topk_per_segment",
 ]
 
 

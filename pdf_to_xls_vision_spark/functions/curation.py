@@ -96,3 +96,154 @@ def budget_sample_composite(
         .filter(F.col("cum_tokens") <= per_bucket)
         .select("doc_id", "shard", "bucket", "quality", "n_tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (training-data mixing)
+# ---------------------------------------------------------------------------
+#
+# All three samplers below select on the portable 60-bit md5 hash
+# (functions/hashing.py) compared against INTEGER thresholds/ranks —
+# no floating point anywhere, so the keep-set is bit-identical across
+# engines, re-runs, cluster sizes, and partitionings. That determinism
+# is the property a training pipeline actually needs from sampling:
+# the same corpus + config must yield the same mixture on every rerun,
+# independent of task scheduling (rand()-based sampling breaks this).
+
+def _h60_of(id_col: str, salt: str):
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+
+    return h60(F.col(id_col).cast("string"), salt)
+
+
+def hash_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Stratified Bernoulli sample: keep a document iff
+    ``h60(id) < floor(rate[stratum] * 2^60)`` — an exact integer
+    threshold per stratum, so expected keep-fraction = rate with zero
+    scheduling nondeterminism.
+
+    Map-only (the per-stratum thresholds ship as a broadcast relation);
+    returns ``(doc_id, stratum, h60)`` for the kept documents.
+    """
+    thr_rows = [
+        (s, min(int(r * (1 << 60)), 1 << 60)) for s, r in sorted(rates.items())
+    ]
+    spark = docs.sparkSession
+    thr = spark.createDataFrame(thr_rows, f"{stratum_col} string, __thr long")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col),
+        _h60_of(id_col, salt).alias("h60"),
+    )
+    default_thr = min(int(default_rate * (1 << 60)), 1 << 60)
+    return (
+        d.join(F.broadcast(thr), stratum_col, "left")
+        .withColumn("__thr", F.coalesce("__thr", F.lit(default_thr)))
+        .filter(F.col("h60") < F.col("__thr"))
+        .select("doc_id", F.col(stratum_col).alias("stratum"), "h60")
+    )
+
+
+def quota_sample(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    *,
+    default_quota: int = 0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Exact-count stratified sample: per stratum, the ``quota``
+    documents with the smallest hash (tie-broken by id). Quota
+    sampling pins the mixture counts exactly — the shape domain-weight
+    recipes ("40% web, 30% code, ...") need, where Bernoulli only hits
+    the mix in expectation.
+
+    Ranking reuses the two-phase salted top-k
+    (functions/relational.py), so one giant stratum never serializes
+    into a single reducer; the per-stratum quota is applied to the
+    global rank afterwards via a broadcast join.
+    """
+    from pdf_to_xls_vision_spark.functions.relational import topk_per_group
+
+    k_max = max([default_quota, *quotas.values()], default=0)
+    if k_max <= 0:
+        raise ValueError("at least one positive quota is required")
+    spark = docs.sparkSession
+    q_rows = [(s, int(q)) for s, q in sorted(quotas.items())]
+    qrel = spark.createDataFrame(q_rows, f"{stratum_col} string, __quota int")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col),
+        _h60_of(id_col, salt).alias("h60"),
+    )
+    ranked = topk_per_group(
+        d,
+        group_cols=[stratum_col],
+        order_col="h60",
+        k=k_max,
+        descending=False,
+        tiebreak_col="doc_id",
+        rank_col="rk",
+    )
+    return (
+        ranked.join(F.broadcast(qrel), stratum_col, "left")
+        .withColumn("__quota", F.coalesce("__quota", F.lit(int(default_quota))))
+        .filter(F.col("rk") <= F.col("__quota"))
+        .select("doc_id", F.col(stratum_col).alias("stratum"), "h60", "rk")
+    )
+
+
+def shuffle_order(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "epoch0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global training order: documents sorted by
+    ``(h60(salt, id), id)``, with a contiguous 0-based ``global_idx``.
+    Change ``salt`` per epoch for a fresh permutation.
+
+    A bare ``row_number() OVER (ORDER BY h)`` is a single-task global
+    sort. Instead the hash's high bits range-partition the rows into
+    ``n_buckets`` uniform buckets (the hash IS the sort key, so bucket
+    boundaries are exact, no sampling pass); each bucket sorts locally
+    and the bucket-size prefix sums — ``n_buckets`` longs of driver
+    metadata — offset the local ranks into the global index. Pick
+    ``n_buckets`` ≈ cluster cores; 2^60 rows of headroom.
+    """
+    if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError("n_buckets must be a positive power of two")
+    shift = 60 - n_buckets.bit_length() + 1
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _h60_of(id_col, salt).alias("h60"),
+    ).withColumn("__bucket", F.shiftright("h60", shift))
+    sizes = {
+        r["__bucket"]: r["n"]
+        for r in d.groupBy("__bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(n_buckets):
+        offsets.append((b, acc))
+        acc += sizes.get(b, 0)
+    spark = docs.sparkSession
+    orel = spark.createDataFrame(offsets, "__bucket long, __offset long")
+    w = Window.partitionBy("__bucket").orderBy("h60", "doc_id")
+    return (
+        d.join(F.broadcast(orel), "__bucket")
+        .withColumn(
+            "global_idx",
+            (F.col("__offset") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .select("doc_id", "h60", "global_idx")
+    )

@@ -1,0 +1,206 @@
+"""Temporal relational operators Spark lacks as built-ins: as-of join,
+banded range join, and ordered-funnel aggregation.
+
+The reference has no temporal operators (its only time-adjacent logic is
+the page-order merge, ``excel_writer.py:28-112``), but a training-data
+pipeline over event/session/order streams needs them constantly; they
+round out SURVEY.md §2.12's "relational categories the reference does
+not implement".
+
+Every operator here is a composition of built-in DataFrame ops — no
+Python UDFs — so the whole family stays inside whole-stage codegen and
+scales by partitioning:
+
+* :func:`asof_join` — ONE shuffle on the join key (the union trick);
+  never an inequality join, never a per-key collect.
+* :func:`banded_count_join` — inequality-range semantics rewritten as a
+  bucket equi-join (explode ≤ ``2 + band/bucket`` candidate buckets per
+  probe), so Catalyst plans a hash join instead of a broadcast-nested-
+  loop cartesian.
+* :func:`funnel_stages` — chained conditional-min aggregations, all
+  shuffles on the same user key so co-partitioning is preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for each ``left`` row, attach the payload of
+    the ``right`` row with the greatest ``right_ts <= left_ts`` within
+    the same ``key`` (NULL payload when no such row exists).
+
+    Tie-break: among right rows sharing the greatest admissible
+    ``right_ts``, the one with the greatest ``payload_cols`` tuple
+    (lexicographic struct order) wins — callers put a unique id first
+    for determinism.
+
+    Implementation is the union trick: tag both inputs, sort each key
+    partition by ``(ts, tag, payload)`` and carry the last non-null
+    payload forward with a running window. That is ONE hash shuffle on
+    ``key`` + a partition-local sort — the same cost as a groupBy — vs
+    the O(|L|·|R|) broadcast-nested-loop plan Catalyst would pick for
+    the naive ``l.ts >= r.ts`` inequality join. At 10^12 rows the key
+    shuffle is the only viable shape; skewed keys salt exactly like any
+    groupBy key.
+    """
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__tag"),
+        pay.alias("__p"),
+    )
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__tag", "__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # right rows (tag 0) sort strictly before left rows at equal ts, so
+    # "on or before" is inclusive; peer left rows all carry null __p and
+    # cannot perturb last(ignorenulls) — the result is deterministic
+    # even though ROWS-frame peer order is not.
+    out = (
+        u.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
+    return out.select(
+        *lcols,
+        *[F.col(f"__asof.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+    )
+
+
+def banded_count_join(
+    probes: DataFrame,
+    facts: DataFrame,
+    *,
+    probe_epoch: str,
+    fact_epoch: str,
+    band_seconds: int,
+    bucket_seconds: int,
+    out_count: str = "n_in_band",
+) -> DataFrame:
+    """For every probe row, count fact rows with
+    ``|fact_epoch - probe_epoch| <= band_seconds`` (no key equality — a
+    pure temporal range join). Both inputs carry epoch-seconds LONG
+    columns (callers derive them from NTZ wall-clock fields so the
+    result is session-timezone-independent, like the sessionizer).
+
+    The naive formulation is an inequality theta-join → broadcast
+    nested loop, O(|P|·|F|). Instead each fact maps to ONE time bucket
+    of width ``bucket_seconds`` and each probe explodes to the
+    ``⌈band/bucket⌉+1``-ish candidate buckets its window can touch; the
+    join becomes a bucket equi-join (hash, shuffle on the bucket key)
+    followed by the exact band filter. Each (probe, fact) pair meets at
+    most once because a fact lives in exactly one bucket. Bucket width
+    tunes the fan-out/selectivity trade: ``bucket ≈ band`` gives ≤3
+    candidate buckets per probe and ~3× over-read, the classic banded
+    range-join rewrite (Spark's own range-join hints on Databricks do
+    the same thing under the hood).
+    """
+    if band_seconds <= 0 or bucket_seconds <= 0:
+        raise ValueError("band_seconds and bucket_seconds must be positive")
+    p_epoch = F.col(probe_epoch).cast("long")
+    f_epoch = F.col(fact_epoch).cast("long")
+    f = facts.select(
+        f_epoch.alias("__fe"),
+        F.floor(f_epoch / bucket_seconds).alias("__bucket"),
+    )
+    pcols = probes.columns
+    p = probes.select(
+        *pcols,
+        p_epoch.alias("__pe"),
+        F.explode(
+            F.sequence(
+                F.floor((p_epoch - band_seconds) / bucket_seconds),
+                F.floor((p_epoch + band_seconds) / bucket_seconds),
+            )
+        ).alias("__bucket"),
+    )
+    joined = p.join(f, "__bucket").filter(
+        F.abs(F.col("__fe") - F.col("__pe")) <= band_seconds
+    )
+    return (
+        joined.groupBy(*pcols)
+        .agg(F.count("*").alias(out_count))
+    )
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel aggregation: per user, the timestamp at which each
+    step was first reached, where step k counts only at
+    ``ts >= reach(k-1)`` (strictly sequential conversion, the standard
+    product-analytics funnel).
+
+    Output: ``(user, t_<step0>, ..., t_<stepN-1>, funnel_depth)`` with
+    one row per user that reached step 0; ``t_<stepK>`` is NULL beyond
+    the reached depth.
+
+    Shape: step 0 is a conditional-min groupBy; each later step joins
+    the (small, per-user) frontier back to the events of that type only
+    and takes the min admissible ts. Every shuffle is on ``user_col``,
+    so AQE/co-partitioning reuses the exchange; events are filtered to
+    one step's type before each join (column/predicate pushdown to the
+    scan). No window over all of a user's events, so a power-user with
+    10^7 events costs the same as anyone else per stage.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    by_type = {
+        s: events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        for s in steps
+    }
+    reach = (
+        by_type[steps[0]]
+        .groupBy("__u")
+        .agg(F.min("__ts").alias(f"t_{steps[0]}"))
+    )
+    for prev, cur in zip(steps, steps[1:]):
+        nxt = (
+            by_type[cur]
+            .join(reach.select("__u", f"t_{prev}"), "__u")
+            .filter(F.col("__ts") >= F.col(f"t_{prev}"))
+            .groupBy("__u")
+            .agg(F.min("__ts").alias(f"t_{cur}"))
+        )
+        reach = reach.join(nxt, "__u", "left")
+    depth = sum(
+        F.when(F.col(f"t_{s}").isNotNull(), 1).otherwise(0) for s in steps
+    )
+    return reach.select(
+        F.col("__u").alias(user_col),
+        *[F.col(f"t_{s}") for s in steps],
+        depth.alias("funnel_depth"),
+    )

@@ -1997,6 +1997,367 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
+# temporal + ranking relational family (SURVEY.md §2.12 gap closers):
+# as-of join, banded range join, ordered funnel, discrete percentiles,
+# two-phase top-k. Operators live in functions/temporal.py and
+# functions/relational.py; these builders wire them to driver tables.
+# ---------------------------------------------------------------------------
+
+def _epoch_of(col: str) -> F.Column:
+    """Epoch seconds from an NTZ timestamp's wall-clock fields —
+    session-timezone-independent (same derivation as _epoch_ntz, for an
+    arbitrary column; NULL-propagating)."""
+    c = F.col(col)
+    return (
+        F.unix_date(c.cast("date")).cast("long") * 86400
+        + F.hour(c).cast("long") * 3600
+        + F.minute(c).cast("long") * 60
+        + F.second(c).cast("long")
+    )
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    """Backward as-of join inside the event stream: each purchase picks
+    up the same user's most recent view on-or-before it (union+window —
+    ONE shuffle on user_id, no inequality join; functions/temporal.py)."""
+    from pdf_to_xls_vision_spark.functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_event_id"),
+        F.round("value", 6).alias("view_value"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["view_event_id", "view_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        _epoch_of("ts").alias("ts_epoch"),
+        F.col("asof_view_event_id").alias("prior_view_event_id"),
+        F.col("asof_view_value").alias("prior_view_value"),
+    )
+
+
+SQL_ASOF_PURCHASE_VIEW = """
+SELECT p.event_id, p.user_id,
+       floor(epoch(p.ts))::BIGINT AS ts_epoch,
+       v.view_event_id AS prior_view_event_id,
+       v.view_value AS prior_view_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT event_id AS view_event_id, round(value, 6) AS view_value
+  FROM events
+  WHERE event_type = 'view' AND user_id = p.user_id AND ts <= p.ts
+  ORDER BY ts DESC, event_id DESC
+  LIMIT 1
+) v ON TRUE
+"""
+
+
+def q_range_join_error_context(spark, sf_dir):
+    """Banded temporal range join: per error event, how many events (any
+    user) fall within ±120 s — bucket equi-join rewrite, never a
+    broadcast-nested-loop theta join (functions/temporal.py)."""
+    from pdf_to_xls_vision_spark.functions.temporal import banded_count_join
+
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "error").select(
+        "event_id", _epoch_of("ts").alias("ts_epoch")
+    )
+    facts = ev.select(_epoch_of("ts").alias("fact_epoch"))
+    return banded_count_join(
+        probes,
+        facts,
+        probe_epoch="ts_epoch",
+        fact_epoch="fact_epoch",
+        band_seconds=120,
+        bucket_seconds=120,
+        out_count="n_events_2min",
+    )
+
+
+SQL_RANGE_JOIN_ERROR_CONTEXT = """
+WITH e AS (SELECT event_id, floor(epoch(ts))::BIGINT AS ts_epoch
+           FROM events WHERE event_type = 'error'),
+f AS (SELECT floor(epoch(ts))::BIGINT AS fe FROM events)
+SELECT e.event_id, e.ts_epoch, count(*) AS n_events_2min
+FROM e JOIN f ON abs(f.fe - e.ts_epoch) <= 120
+GROUP BY e.event_id, e.ts_epoch
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel signup→view→click→purchase per user: step k
+    counts only at ts >= reach(k-1); chained conditional-min
+    aggregations, every shuffle on user_id (functions/temporal.py)."""
+    from pdf_to_xls_vision_spark.functions.temporal import funnel_stages
+
+    steps = ["signup", "view", "click", "purchase"]
+    out = funnel_stages(_t(spark, sf_dir, "events"), steps)
+    return out.select(
+        "user_id",
+        *[_epoch_of(f"t_{s}").alias(f"t_{s}") for s in steps],
+        "funnel_depth",
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_view
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts >= s1.t_signup
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s2.t_view
+  GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s3.t_click
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       floor(epoch(t_signup))::BIGINT AS t_signup,
+       floor(epoch(t_view))::BIGINT AS t_view,
+       floor(epoch(t_click))::BIGINT AS t_click,
+       floor(epoch(t_purchase))::BIGINT AS t_purchase,
+       ((t_signup IS NOT NULL)::INT + (t_view IS NOT NULL)::INT
+        + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT
+       ) AS funnel_depth
+FROM s1
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+LEFT JOIN s4 USING (user_id)
+"""
+
+
+def q_order_percentiles(spark, sf_dir):
+    """Discrete percentiles per order priority — percentile_disc picks
+    actual data values (no interpolation arithmetic), so the result is
+    cross-engine exact; the DuckDB oracle spells out the ANSI
+    cume_dist >= p definition."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p50_totalprice"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+            ).alias("p90_totalprice"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_totalprice"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_ORDER_PERCENTILES = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         cume_dist() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice) AS cd
+  FROM orders
+)
+SELECT o_orderpriority,
+       min(o_totalprice) FILTER (WHERE cd >= 0.5) AS p50_totalprice,
+       min(o_totalprice) FILTER (WHERE cd >= 0.9) AS p90_totalprice,
+       round(avg(o_totalprice), 2) AS avg_totalprice,
+       count(*) AS n_orders
+FROM ranked
+GROUP BY o_orderpriority
+"""
+
+
+def q_topk_orders_per_segment(spark, sf_dir):
+    """Top-3 orders per market segment by o_totalprice via the
+    two-phase salted top-k (functions/relational.py) — never one
+    reducer per segment. Ranks raw column values (no float arithmetic),
+    tie-broken by o_orderkey, so ranking is cross-engine exact."""
+    from pdf_to_xls_vision_spark.functions.relational import topk_per_group
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_orderkey", "o_totalprice")
+    return topk_per_group(
+        j,
+        group_cols=["c_mktsegment"],
+        order_col="o_totalprice",
+        k=3,
+        tiebreak_col="o_orderkey",
+    ).select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+
+
+SQL_TOPK_ORDERS_PER_SEGMENT = """
+SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rk <= 3
+"""
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority: segment-filtered 3-way join,
+    revenue per open order (dimension broadcast; the only shuffle is
+    lineitem⋈orders + the group-by). No LIMIT — top-k lives in
+    topk_orders_per_segment where ranking is float-safe."""
+    cutoff = "1998-06-01"
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            # o_orderdate is functionally dependent on the order key;
+            # min() makes that explicit for both engines
+            F.min(_epoch_of("o_orderdate")).alias("orderdate_epoch"),
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       floor(epoch(min(o_orderdate)))::BIGINT AS orderdate_epoch
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate  > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling (training-data mixing; functions/curation.py).
+# Selection is on integer md5-60bit hashes vs integer thresholds/ranks —
+# zero floating point, so the keep-set is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 0.6, "de": 0.4, "fr": 0.4}
+_MIX_DEFAULT = 0.25
+_QUOTAS = {"src0": 12, "src1": 12, "src2": 12}
+_QUOTA_DEFAULT = 5
+
+
+def q_hash_sample(spark, sf_dir):
+    """Stratified Bernoulli sample by language: keep iff
+    h60(doc_id) < floor(rate[lang]·2^60). Map-only + broadcast
+    thresholds; deterministic under any partitioning."""
+    from pdf_to_xls_vision_spark.functions.curation import hash_sample
+
+    return hash_sample(
+        _t(spark, sf_dir, "documents"),
+        _MIX_RATES,
+        default_rate=_MIX_DEFAULT,
+        stratum_col="lang",
+        salt="mix1",
+    )
+
+
+def _sql_hash_sample() -> str:
+    h = h60_sql("doc_id", "mix1")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {min(int(r * (1 << 60)), 1 << 60)}"
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    default_thr = min(int(_MIX_DEFAULT * (1 << 60)), 1 << 60)
+    return f"""
+SELECT doc_id, lang AS stratum, {h} AS h60
+FROM documents
+WHERE {h} < (CASE lang {cases} ELSE {default_thr} END)
+"""
+
+
+def q_quota_sample(spark, sf_dir):
+    """Exact-count stratified sample by source: per stratum, the
+    quota smallest-hash documents (two-phase salted top-k underneath,
+    never one reducer per stratum)."""
+    from pdf_to_xls_vision_spark.functions.curation import quota_sample
+
+    return quota_sample(
+        _t(spark, sf_dir, "documents"),
+        _QUOTAS,
+        default_quota=_QUOTA_DEFAULT,
+        stratum_col="source",
+        salt="quota1",
+    )
+
+
+def _sql_quota_sample() -> str:
+    h = h60_sql("doc_id", "quota1")
+    cases = " ".join(
+        f"WHEN '{s}' THEN {q}" for s, q in sorted(_QUOTAS.items())
+    )
+    return f"""
+SELECT doc_id, stratum, h60, rk FROM (
+  SELECT doc_id, source AS stratum, {h} AS h60,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rk
+  FROM documents
+) WHERE rk <= (CASE stratum {cases} ELSE {_QUOTA_DEFAULT} END)
+"""
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic global training order (epoch shuffle): contiguous
+    global_idx by (h60, doc_id), built bucket-parallel — hash high
+    bits range-partition exactly, prefix-sum offsets are driver
+    metadata (n_buckets longs), no single-task global sort."""
+    from pdf_to_xls_vision_spark.functions.curation import shuffle_order
+
+    return shuffle_order(
+        _t(spark, sf_dir, "documents"), salt="epoch0", n_buckets=64
+    )
+
+
+def _sql_shuffle_order() -> str:
+    h = h60_sql("doc_id", "epoch0")
+    return f"""
+SELECT doc_id, {h} AS h60,
+       row_number() OVER (ORDER BY {h}, doc_id) - 1 AS global_idx
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible: the extraction pipeline itself (+ pandas-UDF ops)
 # rows-only checks; pytest covers exact correctness vs the oracle.
 # ---------------------------------------------------------------------------
@@ -2383,6 +2744,9 @@ QUERIES = {
     "text_quality_score": q_quality_score,
     "curation_token_budget": q_token_budget_sample,
     "curation_token_budget_sharded": q_token_budget_sample_sharded,
+    "curation_hash_sample": q_hash_sample,
+    "curation_quota_sample": q_quota_sample,
+    "curation_shuffle_order": q_shuffle_order,
     "text_fingerprint": q_fingerprint,
     "text_repetition_filters": q_text_repetition,
     "text_pii_scrub": q_pii_scrub,
@@ -2392,6 +2756,12 @@ QUERIES = {
     "agg_pricing_rollup": q_pricing_rollup,
     "setop_part_usage": q_set_ops,
     "join_nation_revenue": q_nation_revenue,
+    "join_asof_purchase_view": q_asof_purchase_view,
+    "join_range_error_context": q_range_join_error_context,
+    "events_funnel": q_events_funnel,
+    "agg_order_percentiles": q_order_percentiles,
+    "window_topk_per_segment": q_topk_orders_per_segment,
+    "join_shipping_priority": q_shipping_priority,
     # Structured Streaming plans replayed availableNow over the events
     # fixture — batch equivalence checked against the DuckDB batch SQL
     "streaming_windowed_counts": q_streaming_windowed_counts,
@@ -2449,6 +2819,9 @@ ORACLES = {
     "text_quality_score": SQL_QUALITY_SCORE,
     "curation_token_budget": _sql_token_budget_sample(),
     "curation_token_budget_sharded": _sql_token_budget_sample(sharded=True),
+    "curation_hash_sample": _sql_hash_sample(),
+    "curation_quota_sample": _sql_quota_sample(),
+    "curation_shuffle_order": _sql_shuffle_order(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_repetition_filters": _sql_text_repetition(),
     "text_pii_scrub": _sql_pii_scrub(),
@@ -2458,6 +2831,12 @@ ORACLES = {
     "agg_pricing_rollup": SQL_PRICING_ROLLUP,
     "setop_part_usage": SQL_SET_OPS,
     "join_nation_revenue": SQL_NATION_REVENUE,
+    "join_asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
+    "join_range_error_context": SQL_RANGE_JOIN_ERROR_CONTEXT,
+    "events_funnel": SQL_EVENTS_FUNNEL,
+    "agg_order_percentiles": SQL_ORDER_PERCENTILES,
+    "window_topk_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
+    "join_shipping_priority": SQL_SHIPPING_PRIORITY,
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED_COUNTS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "extraction_spans": SQL_EXTRACTION_SPANS,
