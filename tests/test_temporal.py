@@ -184,3 +184,84 @@ def test_topk_requires_tiebreak(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "g int, id int, v double")
     with pytest.raises(ValueError):
         topk_per_group(df, group_cols=["g"], order_col="v", k=1, tiebreak_col=None)
+
+
+# ---------------------------------------------------------------------------
+# property-based: asof_join and topk_per_group vs naive in-Python models
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    _epochs = st.integers(min_value=0, max_value=50)
+    _keys = st.integers(min_value=0, max_value=3)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(_keys, _epochs), min_size=1, max_size=12),
+        rights=st.lists(st.tuples(_keys, _epochs), min_size=0, max_size=12),
+    )
+    def test_asof_matches_naive_model(spark, lefts, rights):
+        left = spark.createDataFrame(
+            [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=e))
+             for i, (k, e) in enumerate(lefts)],
+            "lid int, k int, lt timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=e), i)
+             for i, (k, e) in enumerate(rights)],
+            "k int, rt timestamp, rid int",
+        )
+        out = asof_join(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            payload_cols=["rid"],
+        )
+        got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+        for i, (k, e) in enumerate(lefts):
+            # naive: max (rt, rid) among same-key rights with rt <= lt
+            cands = [
+                (re_, ri) for ri, (rk, re_) in enumerate(rights)
+                if rk == k and re_ <= e
+            ]
+            expect = max(cands)[1] if cands else None
+            assert got[i] == expect, (i, k, e, cands)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=9),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        k=st.integers(min_value=1, max_value=5),
+        n_salt=st.sampled_from([1, 2, 7]),
+    )
+    def test_topk_matches_naive_model(spark, rows, k, n_salt):
+        df = spark.createDataFrame(
+            [(g, i, float(v)) for i, (g, v) in enumerate(rows)],
+            "g int, id int, v double",
+        )
+        got = {
+            (r["g"], r["rk"], r["id"])
+            for r in topk_per_group(
+                df, group_cols=["g"], order_col="v", k=k,
+                tiebreak_col="id", n_salt=n_salt,
+            ).collect()
+        }
+        expect = set()
+        groups = {}
+        for i, (g, v) in enumerate(rows):
+            groups.setdefault(g, []).append((-float(v), i))
+        for g, items in groups.items():
+            for rk, (_nv, i) in enumerate(sorted(items)[:k], 1):
+                expect.add((g, rk, i))
+        assert got == expect
