@@ -2358,6 +2358,121 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# remaining relational breadth: CUBE + grouping_id, semi/anti join, pivot
+# ---------------------------------------------------------------------------
+
+def q_pricing_cube(spark, sf_dir):
+    """Full CUBE over (returnflag, linestatus) with grouping_id — the
+    grouping-sets family §2.12 lists as absent from the reference.
+    Spark and DuckDB share the bit convention (first listed column =
+    most significant bit), verified empirically."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+SQL_PRICING_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       grouping_id(l_returnflag, l_linestatus) AS gid,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_semi_anti_customers(spark, sf_dir):
+    """Explicit semi/anti join surface: customers with vs without
+    URGENT orders, as two branches (leftsemi / leftanti) summarized
+    per branch. The urgency filter keeps BOTH branches non-empty at
+    every SF (unfiltered, every customer has some order and the anti
+    branch degenerates to empty)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ordered = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    semi = cust.join(
+        ordered, cust.c_custkey == ordered.o_custkey, "leftsemi"
+    ).withColumn("op", F.lit("with_orders"))
+    anti = cust.join(
+        ordered, cust.c_custkey == ordered.o_custkey, "leftanti"
+    ).withColumn("op", F.lit("without_orders"))
+    return (
+        semi.unionByName(anti)
+        .groupBy("op")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+    )
+
+
+SQL_SEMI_ANTI_CUSTOMERS = """
+WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+tagged AS (
+  SELECT c_custkey, c_acctbal, 'with_orders' AS op
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM urgent WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT c_custkey, c_acctbal, 'without_orders' AS op
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM urgent WHERE o_custkey = c_custkey)
+)
+SELECT op, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal,
+       min(c_custkey) AS min_custkey, max(c_custkey) AS max_custkey
+FROM tagged GROUP BY op
+"""
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot (long→wide conditional aggregation): order counts per
+    priority pivoted on status. Explicit value list keeps the output
+    schema static — the only scale-safe pivot (value discovery would
+    need an extra pass and an unbounded schema)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible: the extraction pipeline itself (+ pandas-UDF ops)
 # rows-only checks; pytest covers exact correctness vs the oracle.
 # ---------------------------------------------------------------------------
@@ -2754,6 +2869,9 @@ QUERIES = {
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
     "agg_pricing_rollup": q_pricing_rollup,
+    "agg_pricing_cube": q_pricing_cube,
+    "agg_pivot_status": q_pivot_status,
+    "join_semi_anti_customers": q_semi_anti_customers,
     "setop_part_usage": q_set_ops,
     "join_nation_revenue": q_nation_revenue,
     "join_asof_purchase_view": q_asof_purchase_view,
@@ -2829,6 +2947,9 @@ ORACLES = {
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "agg_pricing_summary": SQL_PRICING_SUMMARY,
     "agg_pricing_rollup": SQL_PRICING_ROLLUP,
+    "agg_pricing_cube": SQL_PRICING_CUBE,
+    "agg_pivot_status": SQL_PIVOT_STATUS,
+    "join_semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
     "setop_part_usage": SQL_SET_OPS,
     "join_nation_revenue": SQL_NATION_REVENUE,
     "join_asof_purchase_view": SQL_ASOF_PURCHASE_VIEW,
