@@ -2224,7 +2224,15 @@ def q_shipping_priority(spark, sf_dir):
     """TPC-H Q3-shaped shipping priority: segment-filtered 3-way join,
     revenue per open order (dimension broadcast; the only shuffle is
     lineitem⋈orders + the group-by). No LIMIT — top-k lives in
-    topk_orders_per_segment where ranking is float-safe."""
+    topk_orders_per_segment where ranking is float-safe.
+
+    Revenue is summed in EXACT integer 1e-4-dollar units
+    (cents × (100 − discount%), both 2-decimal columns) — a double
+    sum's rounding depends on accumulation order, and at sf0.01 one of
+    the 1290 groups landed a half-cent from the round(·,2) boundary,
+    flipping the last digit between engines. Integer sums are
+    associative; the single final division of identical bigints yields
+    identical doubles everywhere."""
     cutoff = "1998-06-01"
     cust = (
         _t(spark, sf_dir, "customer")
@@ -2237,14 +2245,14 @@ def q_shipping_priority(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
     )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            (F.sum(cents * (100 - disc_pct)) / 10000.0).alias("revenue"),
             # o_orderdate is functionally dependent on the order key;
             # min() makes that explicit for both engines
             F.min(_epoch_of("o_orderdate")).alias("orderdate_epoch"),
@@ -2254,7 +2262,9 @@ def q_shipping_priority(spark, sf_dir):
 
 SQL_SHIPPING_PRIORITY = """
 SELECT l_orderkey, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0
+         AS revenue,
        floor(epoch(min(o_orderdate)))::BIGINT AS orderdate_epoch
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
