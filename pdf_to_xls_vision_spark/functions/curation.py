@@ -247,3 +247,117 @@ def shuffle_order(
         )
         .select("doc_id", "h60", "global_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# chunking + sequence packing (training-sample assembly)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_chars: int = 800,
+    overlap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-width character
+    windows (stride = ``chunk_chars - overlap``), the standard
+    RAG/embedding chunker. Pure JVM expressions: chunk count by
+    integer ceil-division, one ``explode(sequence(...))``, one
+    ``substring`` — no UDF, no shuffle (the explode is narrow).
+
+    Returns ``(doc_id, chunk_id, chunk_len, chunk_h60)`` — the chunk
+    text itself stays out of the result (length + portable 60-bit md5
+    identify it exactly for cross-engine verification; callers wanting
+    the text select the same ``substring`` expression).
+    """
+    if overlap < 0 or chunk_chars <= overlap:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+
+    step = chunk_chars - overlap
+    length = F.length(F.col(text_col))
+    # ceil((len - overlap) / step) in exact integer math, min 1
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(
+            f"(length({text_col}) - {overlap} + {step} - 1) div {step}"
+        ),
+    )
+    chunk_text = F.substring(
+        F.col(text_col), F.col("chunk_id") * step + 1, chunk_chars
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length(chunk_text).alias("chunk_len"),
+            h60(chunk_text, "chunk").alias("chunk_h60"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    ctx_tokens: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GPT-style sequence packing: within each shard, documents are
+    concatenated in deterministic order (doc_id) and cut into
+    ``ctx_tokens``-token context windows; each document records the
+    token range it occupies and the first/last bin it lands in
+    (documents straddle bin boundaries — that is the point of packing:
+    zero padding waste).
+
+    One running-sum window per shard (``bucket = pmod(doc_id,
+    n_shards)``), so the packing parallelizes across shards exactly
+    like the budget sampler; n_shards ≈ cluster cores at scale. All
+    arithmetic is integer-exact.
+    """
+    if ctx_tokens <= 0:
+        raise ValueError("ctx_tokens must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pdf_to_xls_vision_spark.functions.text import token_count_expr
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint").alias("shard"),
+        token_count_expr(text_col).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("end_tok", F.sum("n_tokens").over(w))
+        .withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
+        .withColumn(
+            "first_bin", F.expr(f"start_tok div {ctx_tokens}").cast("bigint")
+        )
+        .withColumn(
+            "last_bin",
+            # empty docs occupy no tokens: pin last_bin to first_bin
+            # ((end_tok - 1) div ctx would hit the -1 case, where Spark
+            # div truncates toward zero but floor-division floors)
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(end_tok - 1) div {ctx_tokens}"),
+            )
+            .otherwise(F.col("first_bin"))
+            .cast("bigint"),
+        )
+        .select(
+            "doc_id", "shard", "n_tokens", "start_tok", "first_bin", "last_bin"
+        )
+    )

@@ -2367,6 +2367,73 @@ FROM documents
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping fixed-width character chunking (RAG/embedding
+    chunker): pure JVM explode(sequence)+substring, no UDF, no
+    shuffle. Chunk identity verified by length + portable md5-60bit."""
+    from pdf_to_xls_vision_spark.functions.curation import chunk_documents
+
+    # 200/50 sizes the windows to the driver corpus (48-553 chars), so
+    # the multi-chunk + overlap paths are exercised at every SF
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
+    )
+
+
+def _sql_chunk_documents() -> str:
+    h = h60_sql("substr(text, chunk_id * 150 + 1, 200)", "chunk")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(1, (length(text) - 50 + 149) // 150) AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, text,
+         unnest(range(0, n_chunks)) AS chunk_id
+  FROM base
+)
+SELECT doc_id, chunk_id,
+       length(substr(text, chunk_id * 150 + 1, 200)) AS chunk_len,
+       {h} AS chunk_h60
+FROM chunks
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: per shard, concatenate documents in
+    doc_id order and cut into 2048-token context windows; each doc
+    records its token range and first/last bin (docs straddle bins —
+    zero padding waste). One running-sum window per shard."""
+    from pdf_to_xls_vision_spark.functions.curation import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), ctx_tokens=2048, n_shards=16
+    )
+
+
+SQL_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS end_tok
+  FROM d
+)
+SELECT doc_id, shard, n_tokens,
+       (end_tok - n_tokens)::BIGINT AS start_tok,
+       ((end_tok - n_tokens) // 2048)::BIGINT AS first_bin,
+       (CASE WHEN n_tokens > 0 THEN (end_tok - 1) // 2048
+             ELSE (end_tok - n_tokens) // 2048 END)::BIGINT AS last_bin
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # remaining relational breadth: CUBE + grouping_id, semi/anti join, pivot
 # ---------------------------------------------------------------------------
@@ -2872,6 +2939,8 @@ QUERIES = {
     "curation_hash_sample": q_hash_sample,
     "curation_quota_sample": q_quota_sample,
     "curation_shuffle_order": q_shuffle_order,
+    "curation_chunk_documents": q_chunk_documents,
+    "curation_pack_sequences": q_pack_sequences,
     "text_fingerprint": q_fingerprint,
     "text_repetition_filters": q_text_repetition,
     "text_pii_scrub": q_pii_scrub,
@@ -2950,6 +3019,8 @@ ORACLES = {
     "curation_hash_sample": _sql_hash_sample(),
     "curation_quota_sample": _sql_quota_sample(),
     "curation_shuffle_order": _sql_shuffle_order(),
+    "curation_chunk_documents": _sql_chunk_documents(),
+    "curation_pack_sequences": SQL_PACK_SEQUENCES,
     "text_fingerprint": SQL_FINGERPRINT,
     "text_repetition_filters": _sql_text_repetition(),
     "text_pii_scrub": _sql_pii_scrub(),

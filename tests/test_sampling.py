@@ -80,3 +80,64 @@ def test_shuffle_order_is_contiguous_permutation(spark, docs):
 def test_shuffle_order_rejects_bad_buckets(spark, docs):
     with pytest.raises(ValueError):
         shuffle_order(docs, n_buckets=48)
+
+
+# ---------------------------------------------------------------------------
+# chunking + packing
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_covers_text_with_overlap(spark):
+    from pdf_to_xls_vision_spark.functions.curation import chunk_documents
+
+    rows = [
+        (1, "a" * 2000),   # (2000-100+699)//700 = 3 chunks
+        (2, "b" * 800),    # exactly one window
+        (3, "c" * 801),    # spills into a 2nd overlapping window
+        (4, ""),           # empty doc -> one empty chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_chars=800, overlap=100).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_len"]))
+    for v in by_doc.values():
+        v.sort()
+    assert by_doc[1] == [(0, 800), (1, 800), (2, 600)]
+    assert by_doc[2] == [(0, 800)]
+    assert by_doc[3] == [(0, 800), (1, 101)]
+    assert by_doc[4] == [(0, 0)]
+    # stride semantics: consecutive chunks share `overlap` chars ->
+    # total coverage = len + (n-1)*overlap
+    assert sum(l for _c, l in by_doc[1]) == 2000 + 2 * 100
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from pdf_to_xls_vision_spark.functions.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=100, overlap=100)
+
+
+def test_pack_sequences_token_ranges_are_exact(spark):
+    from pdf_to_xls_vision_spark.functions.curation import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (30 + i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, ctx_tokens=64, n_shards=4).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:
+            assert r["doc_id"] % 4 == shard
+            assert r["n_tokens"] == 30 + r["doc_id"]
+            assert r["start_tok"] == cum
+            cum += r["n_tokens"]
+            assert r["first_bin"] == r["start_tok"] // 64
+            assert r["last_bin"] == (cum - 1) // 64
+    # packing must straddle at least one bin boundary in this fixture
+    assert any(r["first_bin"] != r["last_bin"] for r in out)
