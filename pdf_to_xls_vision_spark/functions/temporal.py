@@ -39,15 +39,19 @@ def asof_join(
     right_ts: str,
     payload_cols: Sequence[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each ``left`` row, attach the payload of
-    the ``right`` row with the greatest ``right_ts <= left_ts`` within
-    the same ``key`` (NULL payload when no such row exists).
+    """As-of join: for each ``left`` row, attach the payload of the
+    nearest admissible ``right`` row within the same ``key`` (NULL
+    payload when none exists). ``direction='backward'`` (default)
+    admits ``right_ts <= left_ts`` and picks the greatest;
+    ``direction='forward'`` admits ``right_ts >= left_ts`` and picks
+    the smallest.
 
-    Tie-break: among right rows sharing the greatest admissible
-    ``right_ts``, the one with the greatest ``payload_cols`` tuple
-    (lexicographic struct order) wins — callers put a unique id first
-    for determinism.
+    Tie-break: among right rows sharing the nearest admissible
+    ``right_ts``, backward picks the greatest ``payload_cols`` tuple
+    and forward the smallest (lexicographic struct order) — callers
+    put a unique id first for determinism.
 
     Implementation is the union trick: tag both inputs, sort each key
     partition by ``(ts, tag, payload)`` and carry the last non-null
@@ -57,7 +61,13 @@ def asof_join(
     the naive ``l.ts >= r.ts`` inequality join. At 10^12 rows the key
     shuffle is the only viable shape; skewed keys salt exactly like any
     groupBy key.
+
+    The forward direction is the same machinery mirror-image: sort
+    descending on ts ("later rows first") so the running
+    ``last(ignorenulls)`` picks the SMALLEST admissible ``right_ts``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     pay = F.struct(*[F.col(c) for c in payload_cols])
     r = right.select(
         F.col(key).alias("__k"),
@@ -74,15 +84,19 @@ def asof_join(
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__tag").asc(), F.col("__p").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__tag").asc(), F.col("__p").desc()]
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__tag", "__p")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # right rows (tag 0) sort strictly before left rows at equal ts, so
-    # "on or before" is inclusive; peer left rows all carry null __p and
-    # cannot perturb last(ignorenulls) — the result is deterministic
-    # even though ROWS-frame peer order is not.
+    # the equal-ts case is inclusive in both directions; peer left rows
+    # all carry null __p and cannot perturb last(ignorenulls) — the
+    # result is deterministic even though ROWS-frame peer order is not.
     out = (
         u.withColumn("__asof", F.last("__p", ignorenulls=True).over(w))
         .filter(F.col("__tag") == 1)

@@ -265,3 +265,83 @@ if HAVE_HYPOTHESIS:
             for rk, (_nv, i) in enumerate(sorted(items)[:k], 1):
                 expect.add((g, rk, i))
         assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# asof_join forward direction
+# ---------------------------------------------------------------------------
+
+def _asof_fwd(spark, left_rows, right_rows):
+    left = spark.createDataFrame(left_rows, "lid int, k int, lt timestamp")
+    right = spark.createDataFrame(right_rows, "k int, rt timestamp, rid int")
+    out = asof_join(
+        left, right, key="k", left_ts="lt", right_ts="rt",
+        payload_cols=["rid"], direction="forward",
+    )
+    return {r["lid"]: r["asof_rid"] for r in out.collect()}
+
+
+def test_asof_forward_picks_earliest_on_or_after(spark):
+    got = _asof_fwd(
+        spark,
+        [(1, 7, _ts("2024-01-01T10:00:00"))],
+        [
+            (7, _ts("2024-01-01T09:00:00"), 100),  # before -> inadmissible
+            (7, _ts("2024-01-01T11:00:00"), 200),
+            (7, _ts("2024-01-01T12:00:00"), 300),
+        ],
+    )
+    assert got == {1: 200}
+
+
+def test_asof_forward_equal_ts_inclusive_and_tie_min_payload(spark):
+    got = _asof_fwd(
+        spark,
+        [(1, 7, _ts("2024-01-01T10:00:00"))],
+        [
+            (7, _ts("2024-01-01T10:00:00"), 151),
+            (7, _ts("2024-01-01T10:00:00"), 150),
+        ],
+    )
+    assert got == {1: 150}
+
+
+def test_asof_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(1, 1, _ts("2024-01-01T00:00:00"))],
+                               "lid int, k int, lt timestamp")
+    with pytest.raises(ValueError):
+        asof_join(df, df.selectExpr("k", "lt as rt", "lid as rid"),
+                  key="k", left_ts="lt", right_ts="rt",
+                  payload_cols=["rid"], direction="nearest")
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(_keys, _epochs), min_size=1, max_size=10),
+        rights=st.lists(st.tuples(_keys, _epochs), min_size=0, max_size=10),
+    )
+    def test_asof_forward_matches_naive_model(spark, lefts, rights):
+        left = spark.createDataFrame(
+            [(i, k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=e))
+             for i, (k, e) in enumerate(lefts)],
+            "lid int, k int, lt timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=e), i)
+             for i, (k, e) in enumerate(rights)],
+            "k int, rt timestamp, rid int",
+        )
+        out = asof_join(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            payload_cols=["rid"], direction="forward",
+        )
+        got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+        for i, (k, e) in enumerate(lefts):
+            cands = [
+                (re_, ri) for ri, (rk, re_) in enumerate(rights)
+                if rk == k and re_ >= e
+            ]
+            expect = min(cands)[1] if cands else None
+            assert got[i] == expect, (i, k, e, cands)
