@@ -1,0 +1,145 @@
+"""Distributed cardinality/membership sketches, cross-engine exact.
+
+Spark's own ``approx_count_distinct`` (HLL++) and
+``spark.sql.optimizer.runtime.bloomFilter`` are black boxes whose
+internal hashing can't be reproduced in an oracle. These
+implementations build the SAME sketches from the portable 60-bit md5
+hash (functions/hashing.py), so every register/word is an integer a
+DuckDB oracle reproduces bit-for-bit — the sketch itself is the
+verified artifact, not just its estimate.
+
+Scale shape: both sketches are one hash-aggregate (map-side partial →
+m-row final), the canonical distributed-sketch plan; register/word
+tables are driver metadata (m ≤ 1024 longs) that broadcast for reuse
+(membership pruning, union across shards by taking max/bit_or again).
+
+No reference counterpart (the reference's only "sketch" is the exact
+number multiset, ``validation.py:164-180``); part of the
+training-data-pipeline family (dedup/join pruning at 10^12 rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_to_xls_vision_spark.functions.hashing import h60
+
+#: remainder field width after the bucket prefix (60-bit hash)
+_HASH_BITS = 60
+#: exponent cap for the exact-integer harmonic sum: terms are
+#: 2^(RANK_CAP - rank); with m ≤ 2^10 buckets the sum stays < 2^63.
+RANK_CAP = 50
+
+
+def hll_registers(
+    df: DataFrame, col: str | Column, *, p: int = 6, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table over a column: ``m = 2^p`` buckets,
+    register = max over the bucket of (1 + leading zeros of the
+    remainder field).
+
+    Leading zeros come from string length of the binary expansion —
+    ``bin()`` drops leading zeros in both engines, so
+    ``lz = field_bits - length(bin(v))`` with no float log2 edge
+    cases. Returns ``(bucket, register)`` for NON-EMPTY buckets only
+    (empty buckets are register 0 by definition; estimators add them
+    back arithmetically).
+    """
+    if not 2 <= p <= 10:
+        raise ValueError("p must be in [2, 10]")
+    rem_bits = _HASH_BITS - p
+    h = h60(col, salt)
+    bucket = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        rem_bits - F.length(F.bin(rem)) + 1
+    )
+    return (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").cast("long").alias("register"))
+    )
+
+
+def hll_estimate_row(
+    df: DataFrame, col: str | Column, *, p: int = 6, salt: str = "hll"
+) -> DataFrame:
+    """One-row HLL cardinality estimate with its evidence: the exact
+    integer harmonic sum ``S = Σ 2^(RANK_CAP − min(register, RANK_CAP))``
+    over all ``m`` buckets (empty buckets contribute ``2^RANK_CAP``),
+    the non-zero register count, and the raw/linear-counting estimates.
+
+    All inputs to the float math are integers identical across
+    engines, so the doubles are identical too. ``alpha_m · m² / Σ2^-M``
+    with the standard small-range linear-counting switch (Flajolet et
+    al. 2007).
+    """
+    m = 1 << p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    regs = hll_registers(df, col, p=p, salt=salt)
+    agg = regs.agg(
+        F.count("*").cast("long").alias("nonzero_buckets"),
+        F.sum(
+            # dynamic shift amount needs the SQL form (the Python
+            # shiftleft wrapper only takes a literal int)
+            F.expr(
+                f"shiftleft(1L, cast({RANK_CAP} - least(register, {RANK_CAP}) as int))"
+            )
+        ).cast("long").alias("s_nonzero"),
+    )
+    # add empty buckets: each contributes 2^RANK_CAP to the harmonic sum
+    s_total = (
+        F.col("s_nonzero")
+        + (F.lit(m) - F.col("nonzero_buckets")) * F.lit(1 << RANK_CAP)
+    )
+    # one precomputed double constant (alpha·m²·2^RANK_CAP): scaling by
+    # a power of two is exact, and a single literal keeps the oracle's
+    # arithmetic bit-identical (DuckDB would otherwise parse the
+    # factors as DECIMALs and overflow)
+    raw = F.lit(alpha * m * m * float(1 << RANK_CAP)) / s_total.cast("double")
+    zeros = F.lit(m) - F.col("nonzero_buckets")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        "nonzero_buckets",
+        s_total.cast("long").alias("harmonic_sum_e"),
+        F.round(est, 6).alias("estimate"),
+    )
+
+
+def bloom_words(
+    df: DataFrame,
+    col: str | Column,
+    *,
+    n_bits: int = 1008,
+    k: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Distributed Bloom-filter construction: ``k`` independent salted
+    hashes set ``k`` bit positions per element; the bitmap is built as
+    63-bit words via ``bit_or`` aggregation (map-side partial combine,
+    one shuffle of ≤ words rows). Returns ``(word_idx, word)`` for
+    non-zero words — with popcounts this is the whole filter, and a
+    broadcast of it prunes a 10^12-row join the way Spark's runtime
+    bloom filter does, but reproducibly.
+
+    63 bits per word keep every value a non-negative int64 in both
+    engines (DuckDB's ``<<`` on BIGINT would overflow at bit 63).
+    """
+    if n_bits % 63 != 0:
+        raise ValueError("n_bits must be a multiple of 63")
+    if k <= 0:
+        raise ValueError("k must be positive")
+    pos_cols = []
+    for i in range(k):
+        pos_cols.append(F.pmod(h60(col, f"{salt}{i}"), F.lit(n_bits)))
+    sel = df.select(F.explode(F.array(*pos_cols)).alias("pos"))
+    word_idx = F.expr("pos div 63")
+    bit = F.expr("shiftleft(1L, cast(pos % 63 as int))")
+    return (
+        sel.select(word_idx.alias("word_idx"), bit.alias("bit"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )

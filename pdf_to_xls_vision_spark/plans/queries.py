@@ -2435,6 +2435,86 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# sketches (functions/sketches.py): HLL + distributed Bloom on the
+# portable md5 hash — the sketch contents are the verified artifact.
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct(spark, sf_dir):
+    """HLL cardinality estimate of distinct document texts (m=64
+    buckets), cross-joined with the exact distinct count so the
+    result row carries both the sketch evidence and its error."""
+    from pdf_to_xls_vision_spark.functions.sketches import hll_estimate_row
+
+    docs = _t(spark, sf_dir, "documents")
+    est = hll_estimate_row(docs, F.col("text"), p=6)
+    exact = docs.agg(F.count_distinct("text").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _sql_hll_distinct() -> str:
+    h = h60_sql("text", "hll")
+    rem_bits, m, rank_cap, alpha = 54, 64, 50, 0.709
+    mask = (1 << rem_bits) - 1
+    return f"""
+WITH hashes AS (SELECT {h} AS h FROM documents),
+regs AS (
+  SELECT h >> {rem_bits} AS bucket,
+         max(CASE WHEN (h & {mask}) = 0 THEN {rem_bits + 1}
+                  ELSE {rem_bits} - length(bin(h & {mask})) + 1 END) AS register
+  FROM hashes GROUP BY bucket
+),
+agg AS (
+  SELECT count(*)::BIGINT AS nonzero_buckets,
+         sum((1::BIGINT << ({rank_cap} - least(register, {rank_cap})))::BIGINT)::BIGINT
+           AS s_nonzero
+  FROM regs
+),
+est AS (
+  SELECT nonzero_buckets,
+         (s_nonzero + ({m} - nonzero_buckets) * (1::BIGINT << {rank_cap}))::BIGINT
+           AS harmonic_sum_e
+  FROM agg
+)
+SELECT {m} AS m, nonzero_buckets, harmonic_sum_e,
+       round(CASE WHEN ({alpha * m * m * float(1 << rank_cap)!r}
+                        / harmonic_sum_e::DOUBLE) <= 2.5 * {m}
+                       AND ({m} - nonzero_buckets) > 0
+                  THEN {float(m)!r}::DOUBLE
+                       * ln({float(m)!r}::DOUBLE / ({m} - nonzero_buckets)::DOUBLE)
+                  ELSE {alpha * m * m * float(1 << rank_cap)!r}
+                       / harmonic_sum_e::DOUBLE END, 6) AS estimate,
+       (SELECT count(DISTINCT text)::BIGINT FROM documents) AS exact_distinct
+FROM est
+"""
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Distributed Bloom-filter construction over document texts
+    (1008 bits, k=3): bit_or word aggregation; output = the filter's
+    non-zero words + popcounts (the broadcastable join-pruning
+    artifact, reproducible unlike Spark's runtime bloom)."""
+    from pdf_to_xls_vision_spark.functions.sketches import bloom_words
+
+    words = bloom_words(_t(spark, sf_dir, "documents"), F.col("text"))
+    return words.select(
+        "word_idx", "word", F.bit_count("word").cast("int").alias("popcount")
+    )
+
+
+def _sql_bloom_filter() -> str:
+    hs = ", ".join(h60_sql("text", f"bloom{i}") + " % 1008" for i in range(3))
+    return f"""
+WITH pos AS (SELECT unnest([{hs}]) AS pos FROM documents),
+words AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(1::BIGINT << (pos % 63)) AS word
+  FROM pos GROUP BY word_idx
+)
+SELECT word_idx, word, bit_count(word)::INT AS popcount FROM words
+"""
+
+
+# ---------------------------------------------------------------------------
 # remaining relational breadth: CUBE + grouping_id, semi/anti join, pivot
 # ---------------------------------------------------------------------------
 
@@ -2941,6 +3021,8 @@ QUERIES = {
     "curation_shuffle_order": q_shuffle_order,
     "curation_chunk_documents": q_chunk_documents,
     "curation_pack_sequences": q_pack_sequences,
+    "sketch_hll_distinct": q_hll_distinct,
+    "sketch_bloom_filter": q_bloom_filter,
     "text_fingerprint": q_fingerprint,
     "text_repetition_filters": q_text_repetition,
     "text_pii_scrub": q_pii_scrub,
@@ -3021,6 +3103,8 @@ ORACLES = {
     "curation_shuffle_order": _sql_shuffle_order(),
     "curation_chunk_documents": _sql_chunk_documents(),
     "curation_pack_sequences": SQL_PACK_SEQUENCES,
+    "sketch_hll_distinct": _sql_hll_distinct(),
+    "sketch_bloom_filter": _sql_bloom_filter(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_repetition_filters": _sql_text_repetition(),
     "text_pii_scrub": _sql_pii_scrub(),

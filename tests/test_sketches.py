@@ -1,0 +1,89 @@
+"""HLL + distributed Bloom sketch invariants (functions/sketches.py).
+Registry parity covers bit-exactness vs DuckDB; these pin estimator
+quality and filter semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_to_xls_vision_spark.functions.hashing import h60
+from pdf_to_xls_vision_spark.functions.sketches import (
+    bloom_words,
+    hll_estimate_row,
+    hll_registers,
+)
+
+
+def _ids(spark, n):
+    return spark.range(n).select(F.concat(F.lit("item-"), "id").alias("v"))
+
+
+@pytest.mark.parametrize("n", [50, 500, 5000])
+def test_hll_estimate_within_expected_error(spark, n):
+    # m=64 -> relative error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    row = hll_estimate_row(_ids(spark, n), F.col("v"), p=6).collect()[0]
+    assert row["m"] == 64
+    assert abs(row["estimate"] - n) / n < 0.40, row
+
+
+def test_hll_estimate_is_partitioning_independent(spark):
+    df = _ids(spark, 1000)
+    a = hll_estimate_row(df.repartition(1), F.col("v")).collect()[0]
+    b = hll_estimate_row(df.repartition(17), F.col("v")).collect()[0]
+    assert a == b
+
+
+def test_hll_registers_monotone_under_union(spark):
+    # registers of (A ∪ B) == elementwise max of registers(A), registers(B)
+    a, b = _ids(spark, 300), _ids(spark, 600)
+    def regs(df):
+        return {r["bucket"]: r["register"] for r in hll_registers(df, F.col("v")).collect()}
+    ra, rb, ru = regs(a), regs(b), regs(a.unionAll(b))
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert ru == merged
+
+
+def test_hll_rejects_bad_p(spark):
+    with pytest.raises(ValueError):
+        hll_registers(_ids(spark, 10), F.col("v"), p=1)
+
+
+def test_bloom_no_false_negatives_and_sane_fpp(spark):
+    members = _ids(spark, 200)
+    words = {
+        r["word_idx"]: r["word"]
+        for r in bloom_words(members, F.col("v"), n_bits=1008, k=3).collect()
+    }
+
+    def contains(df):
+        probe = df.select(
+            *[F.pmod(h60(F.col("v"), f"bloom{i}"), F.lit(1008)).alias(f"p{i}")
+              for i in range(3)]
+        ).collect()
+        out = []
+        for r in probe:
+            hit = all(
+                (words.get(r[f"p{i}"] // 63, 0) >> (r[f"p{i}"] % 63)) & 1
+                for i in range(3)
+            )
+            out.append(hit)
+        return out
+
+    # every member must test positive
+    assert all(contains(members))
+    # non-members: FPP for n=200, m=1008, k=3 is ~(1-e^{-600/1008})^3 ≈ 9%
+    non = spark.range(10_000, 11_000).select(
+        F.concat(F.lit("other-"), "id").alias("v")
+    )
+    fp = sum(contains(non))
+    assert fp / 1000 < 0.25, fp
+
+
+def test_bloom_rejects_bad_params(spark):
+    df = _ids(spark, 5)
+    with pytest.raises(ValueError):
+        bloom_words(df, F.col("v"), n_bits=1000)
+    with pytest.raises(ValueError):
+        bloom_words(df, F.col("v"), k=0)
