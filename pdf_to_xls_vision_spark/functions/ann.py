@@ -722,34 +722,42 @@ def cosine_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    # candidate discovery carries ONLY (vid, band, key) — the banded
-    # self-join and the pair dedup shuffle ids, never vectors
+    # candidate discovery carries ONLY (vid, band, key) — never vectors.
+    # Buckets are assembled with ONE groupBy (collect_list) and pairs
+    # generated in-bucket with bounded higher-order functions, instead
+    # of a banded self-join: the join formulation evaluates the
+    # signature subtree twice (once per side) and costs two window
+    # shuffles + a join shuffle; this shape is one bucket shuffle + the
+    # pair dedup. The cap filter on size() is the same semantics as the
+    # windowed count (both buffer one bucket per task — a degenerate
+    # all-identical-signature bucket is O(bucket) memory either way,
+    # which is why the cap exists).
     tagged = sigd.select(
         "vid", F.explode(F.array(*band_keys)).alias("bk")
     ).select("vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
+    buckets = tagged.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("vid")).alias("vids")
+    )
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "key")
-        tagged = (
-            tagged.withColumn("bucket_n", F.count("*").over(w))
-            .filter(F.col("bucket_n") <= max_bucket_size)
-            .drop("bucket_n")
-        )
-
-    a, b = tagged.alias("a"), tagged.alias("b")
+        buckets = buckets.filter(F.size("vids") <= max_bucket_size)
+    # all unordered pairs within a bucket (vids sorted -> a < b is the
+    # deterministic orientation, identical to the old a.vid < b.vid)
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("vids"),
+                lambda x: F.transform(
+                    F.col("vids"),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
     if threshold is None:
