@@ -14,6 +14,7 @@ runs JVM-side via ``regexp_extract_all``.
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 
 import pandas as pd
 
@@ -56,6 +57,17 @@ def extract_numbers_from_frame(df: pd.DataFrame) -> list[str]:
     return out
 
 
+@lru_cache(maxsize=1 << 16)
+def _cell_numbers(text: str) -> tuple[str, ...]:
+    """Memoized per-cell extraction: table cells repeat heavily within
+    and across documents (labels, rounded amounts), so the regex +
+    normalization pass runs once per distinct cell string. Returns a
+    tuple so cached values are immutable."""
+    return tuple(
+        normalize_number_token(t) for t in _NUMBER_RE.findall(text)
+    )
+
+
 def extract_numbers_from_grid(header: list, rows: list) -> list[str]:
     """Grid-form :func:`extract_numbers_from_frame`: same column-major
     walk and label-column skip over ``str | None`` cells."""
@@ -66,14 +78,18 @@ def extract_numbers_from_grid(header: list, rows: list) -> list[str]:
         for r in rows:
             v = r[j]
             if v is not None:
-                out.extend(extract_numbers(str(v)))
+                out.extend(_cell_numbers(v if type(v) is str else str(v)))
     return out
 
 
+@lru_cache(maxsize=1 << 16)
 def number_key(token: str) -> str:
     """Canonical multiset key: the float value when the token parses,
     else the raw token (validation.py:164-180 folds both into one
-    Counter; floats and their string forms must collide)."""
+    Counter; floats and their string forms must collide). Memoized —
+    normalized tokens repeat heavily and ``repr(float(...))`` plus the
+    exception probe dominated the validation fold in the merge-kernel
+    profile."""
     try:
         return repr(float(token))
     except ValueError:
