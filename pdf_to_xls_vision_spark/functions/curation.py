@@ -361,3 +361,63 @@ def pack_sequences(
             "doc_id", "shard", "n_tokens", "start_tok", "first_bin", "last_bin"
         )
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    salt: str = "decon",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C move): flag
+    every training document that shares at least one word ``n``-gram
+    with the benchmark/eval corpus, so eval answers are not trained on.
+
+    Grams travel as portable 60-bit md5 hashes (collision probability
+    ~q²/2^61 — and the oracle hashes identically, so parity is exact
+    either way). The benchmark side is distinct gram hashes only: eval
+    sets are tiny relative to a 10^12-doc corpus, so the set broadcasts
+    and the check is a map-side hash probe per training gram — no
+    shuffle of the corpus. Per-doc gram sets are deduplicated before
+    counting, so ``n_contaminated`` counts *distinct* shared grams.
+
+    Returns ``(doc_id, n_grams, n_contaminated, contaminated)`` for
+    every training document (docs shorter than ``n`` words have 0
+    grams and are clean by definition).
+    """
+    from pdf_to_xls_vision_spark.functions.dedup import _tokens
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t_grams = (
+        _tokens(train, id_col, text_col, shingle=n)
+        .select("doc_id", h60("token", salt).alias("gh"))
+        .distinct()
+    )
+    b_grams = (
+        _tokens(benchmark, id_col, text_col, shingle=n)
+        .select(h60("token", salt).alias("gh"))
+        .distinct()
+    )
+    per_doc = t_grams.join(F.broadcast(b_grams), "gh", "left_semi")
+    hits = per_doc.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_contaminated")
+    )
+    totals = t_grams.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    return (
+        train.select(F.col(id_col).alias("doc_id"))
+        .join(totals, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

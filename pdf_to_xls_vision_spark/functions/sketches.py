@@ -143,3 +143,82 @@ def bloom_words(
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
     )
+
+
+def countmin_table(
+    df: DataFrame,
+    col: str | Column,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-min sketch construction: ``depth`` independent salted
+    hashes each map an element to one of ``width`` buckets; the sketch
+    is the per-(row, bucket) occurrence count. Same plan shape as the
+    Bloom filter — one explode of ``depth`` positions, one
+    hash-aggregate with map-side partial combine, ≤ ``depth·width``
+    rows of driver-broadcastable metadata out.
+
+    Counts are exact integers built from the portable 60-bit md5 hash,
+    so a DuckDB oracle reproduces every cell bit-for-bit. Sketches
+    from disjoint shards merge by adding cells (sum groupBy again) —
+    the property that makes count-min the standard frequency sketch
+    for a 10^12-row corpus where exact per-token counts don't fit.
+    """
+    if width <= 0 or depth <= 0:
+        raise ValueError("width and depth must be positive")
+    pos = [
+        F.struct(
+            F.lit(i).cast("int").alias("row"),
+            F.pmod(h60(col, f"{salt}{i}"), F.lit(width)).alias("bucket"),
+        )
+        for i in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*pos)).alias("p"))
+        .select(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str | Column = "token",
+    *,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cm",
+) -> DataFrame:
+    """Point-query the sketch for each probe value: the estimate is
+    ``min`` over the ``depth`` rows of the bucket counts the probe
+    hashes to (missing cells read 0). The sketch side is tiny
+    (≤ depth·width rows) and broadcasts; probes never shuffle. The
+    count-min guarantee: estimate ≥ true count, with overestimates
+    bounded by collisions — the (probe, estimate) pairs are integers a
+    SQL oracle replays exactly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pos = [
+        F.struct(
+            F.lit(i).cast("int").alias("row"),
+            F.pmod(h60(c, f"{salt}{i}"), F.lit(width)).alias("bucket"),
+        )
+        for i in range(depth)
+    ]
+    exploded = probes.select(
+        c.alias("probe"), F.explode(F.array(*pos)).alias("p")
+    ).select(
+        "probe", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+    )
+    return (
+        exploded.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("probe")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cm_estimate")
+        )
+    )

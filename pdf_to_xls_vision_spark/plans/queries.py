@@ -2514,6 +2514,127 @@ SELECT word_idx, word, bit_count(word)::INT AS popcount FROM words
 """
 
 
+_CM_WIDTH, _CM_DEPTH, _CM_PROBES = 256, 4, 20
+
+
+def q_countmin_words(spark, sf_dir):
+    """Count-min frequency sketch over the corpus word stream
+    (width 256 x depth 4), point-queried for the 20 most frequent
+    words and joined with their exact counts — the result row carries
+    the estimate, the truth, and therefore the sketch's overestimate,
+    all integers. The sketch aggregate is map-side-combined and its
+    ≤ w·d cells broadcast for the probe join."""
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        countmin_estimates,
+        countmin_table,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token")
+    )
+    counts = words.groupBy("token").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    probes = counts.orderBy(
+        F.desc("exact_cnt"), F.asc("token")
+    ).limit(_CM_PROBES)
+    sketch = countmin_table(words, F.col("token"), width=_CM_WIDTH, depth=_CM_DEPTH)
+    est = countmin_estimates(
+        sketch, probes.select("token"), "token", width=_CM_WIDTH, depth=_CM_DEPTH
+    )
+    return probes.join(est, probes["token"] == est["probe"]).select(
+        F.col("token").alias("word"), "exact_cnt", "cm_estimate"
+    )
+
+
+def _sql_countmin_words() -> str:
+    w, d, p = _CM_WIDTH, _CM_DEPTH, _CM_PROBES
+    rows = ", ".join(str(i) for i in range(d))
+    buckets = ", ".join(
+        h60_sql("token", f"cm{i}") + f" % {w}" for i in range(d)
+    )
+    return f"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, count(*)::BIGINT AS exact_cnt FROM words GROUP BY token
+),
+probes AS (
+  SELECT token, exact_cnt FROM counts
+  ORDER BY exact_cnt DESC, token LIMIT {p}
+),
+cells AS (
+  SELECT row, bucket, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest([{rows}]) AS row, unnest([{buckets}]) AS bucket FROM words
+  ) GROUP BY row, bucket
+),
+ppos AS (
+  SELECT token, unnest([{rows}]) AS row, unnest([{buckets}]) AS bucket
+  FROM probes
+),
+pest AS (
+  SELECT ppos.token, min(coalesce(c.cnt, 0))::BIGINT AS cm_estimate
+  FROM ppos LEFT JOIN cells c USING (row, bucket)
+  GROUP BY ppos.token
+)
+SELECT pr.token AS word, pr.exact_cnt, pe.cm_estimate
+FROM probes pr JOIN pest pe USING (token)
+"""
+
+
+_DECON_MOD = 17  # doc_id % MOD == 0 -> the held-out "benchmark" slice
+_DECON_N = 8
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over the documents table: the corpus
+    is split into a small eval slice (doc_id % 17 == 0) and the
+    training remainder; every training doc sharing a word 8-gram with
+    the eval slice is flagged. The eval gram set broadcasts — the
+    training corpus never shuffles (map-side probe + one per-doc
+    count), the shape that holds at 10^12 docs."""
+    from pdf_to_xls_vision_spark.functions.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return decontaminate(train, bench, n=_DECON_N)
+
+
+def _sql_decontaminate() -> str:
+    n, mod = _DECON_N, _DECON_MOD
+    gh = h60_sql(f"array_to_string(t.ts[r.i : r.i + {n - 1}], ' ')", "decon")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+),
+g AS (
+  SELECT t.doc_id, {gh} AS gh
+  FROM toks t, UNNEST(range(1, len(t.ts) - {n - 2})) AS r(i)
+),
+tg AS (SELECT DISTINCT doc_id, gh FROM g WHERE doc_id % {mod} <> 0),
+bg AS (SELECT DISTINCT gh FROM g WHERE doc_id % {mod} = 0),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM tg GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*)::BIGINT AS n_contaminated
+  FROM tg WHERE gh IN (SELECT gh FROM bg) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(tot.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(hit.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(hit.n_contaminated, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN hit USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # remaining relational breadth: CUBE + grouping_id, semi/anti join, pivot
 # ---------------------------------------------------------------------------
@@ -3023,6 +3144,8 @@ QUERIES = {
     "curation_pack_sequences": q_pack_sequences,
     "sketch_hll_distinct": q_hll_distinct,
     "sketch_bloom_filter": q_bloom_filter,
+    "sketch_countmin_words": q_countmin_words,
+    "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_repetition_filters": q_text_repetition,
     "text_pii_scrub": q_pii_scrub,
@@ -3105,6 +3228,8 @@ ORACLES = {
     "curation_pack_sequences": SQL_PACK_SEQUENCES,
     "sketch_hll_distinct": _sql_hll_distinct(),
     "sketch_bloom_filter": _sql_bloom_filter(),
+    "sketch_countmin_words": _sql_countmin_words(),
+    "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_repetition_filters": _sql_text_repetition(),
     "text_pii_scrub": _sql_pii_scrub(),

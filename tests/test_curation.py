@@ -74,3 +74,47 @@ def test_composite_respects_per_bucket_budget_and_ranking(spark):
         assert len(kept) == 2
         assert all(r.doc_id in good_ids for r in kept)
         assert all(int(r.doc_id) % 4 == bucket for r in kept)
+
+
+def test_decontaminate_flags_exact_gram_overlap(spark):
+    from pdf_to_xls_vision_spark.functions.curation import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # shares the full leading 8-gram with the benchmark doc
+        (1, "alpha beta gamma delta epsilon zeta eta theta SAFE TAIL"),
+        # same vocabulary fully reversed: no shared 8-gram
+        (2, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+        # too short for any 8-gram
+        (3, "alpha beta gamma"),
+        # disjoint vocabulary
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r.asDict() for r in decontaminate(train, bench).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] == 1
+    assert not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert not out[4]["contaminated"]
+    assert out[4]["n_grams"] == 3  # 10 words -> 3 distinct 8-grams
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark):
+    from pdf_to_xls_vision_spark.functions.curation import decontaminate
+
+    # a doc repeating the benchmark phrase twice still counts the
+    # shared grams once (distinct per-doc gram set)
+    phrase = "w1 w2 w3 w4 w5 w6 w7 w8"
+    train = spark.createDataFrame(
+        [(1, phrase + " xx " + phrase)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, phrase)], "doc_id long, text string")
+    row = decontaminate(train, bench).collect()[0]
+    assert row["n_contaminated"] == 1
+    with __import__("pytest").raises(ValueError):
+        decontaminate(train, bench, n=0)

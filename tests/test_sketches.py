@@ -87,3 +87,68 @@ def test_bloom_rejects_bad_params(spark):
         bloom_words(df, F.col("v"), n_bits=1000)
     with pytest.raises(ValueError):
         bloom_words(df, F.col("v"), k=0)
+
+
+def test_countmin_never_underestimates_and_is_exact_without_collisions(spark):
+    from collections import Counter
+
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        countmin_estimates,
+        countmin_table,
+    )
+
+    # zipf-ish multiset: item-k appears (40 - k) times
+    vals = [f"item-{k}" for k in range(40) for _ in range(40 - k)]
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    probes = spark.createDataFrame(
+        [(v,) for v in truth], "token string"
+    )
+
+    # width 4: heavy collisions -> estimates must still dominate truth
+    tight = countmin_table(df, F.col("v"), width=4, depth=3)
+    est = {
+        r["probe"]: r["cm_estimate"]
+        for r in countmin_estimates(
+            tight, probes, "token", width=4, depth=3
+        ).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    assert any(est[k] > truth[k] for k in truth)  # collisions occurred
+
+    # wide sketch: no collisions -> exact
+    wide = countmin_table(df, F.col("v"), width=4096, depth=4)
+    est_w = {
+        r["probe"]: r["cm_estimate"]
+        for r in countmin_estimates(
+            wide, probes, "token", width=4096, depth=4
+        ).collect()
+    }
+    assert est_w == dict(truth)
+
+
+def test_countmin_shard_merge_is_cell_addition(spark):
+    from pdf_to_xls_vision_spark.functions.sketches import countmin_table
+
+    a = _ids(spark, 300)
+    b = _ids(spark, 500)
+
+    def cells(df):
+        return {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in countmin_table(df, F.col("v"), width=16, depth=3).collect()
+        }
+
+    ca, cb, cu = cells(a), cells(b), cells(a.unionAll(b))
+    merged = {
+        k: ca.get(k, 0) + cb.get(k, 0) for k in set(ca) | set(cb)
+    }
+    assert cu == merged
+
+
+def test_countmin_rejects_bad_params(spark):
+    from pdf_to_xls_vision_spark.functions.sketches import countmin_table
+
+    with pytest.raises(ValueError):
+        countmin_table(_ids(spark, 10), F.col("v"), width=0)
