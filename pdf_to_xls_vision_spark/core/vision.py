@@ -21,8 +21,10 @@ Reference behaviors re-expressed (see SURVEY.md §2.4):
 
 from __future__ import annotations
 
+import csv
 import hashlib
 import math
+import re
 from io import StringIO
 
 import numpy as np
@@ -178,6 +180,156 @@ def parse_vision_csv(csv_content: str | None) -> pd.DataFrame | None:
     if df is None or df.empty or df.shape[0] == 0 or df.shape[1] == 0:
         return None
     return df
+
+
+# ---------------------------------------------------------------------------
+# V6 fast path — grid parser that bypasses pandas for the common case
+# ---------------------------------------------------------------------------
+
+class VISION_FALLBACK:  # noqa: N801 - sentinel, never instantiated
+    """Sentinel: the content leaves the proven fast-path grammar; the
+    caller must run the spec ``parse_vision_csv`` ladder instead. A
+    class (not ``object()``) so cloudpickle ships it by module
+    reference and ``is`` identity survives the executor-side
+    closure unpickling."""
+
+try:  # pandas' own default NA token set, so the fast path can't drift
+    from pandas._libs.parsers import STR_NA_VALUES as _NA_TOKENS
+except Exception:  # pragma: no cover - pinned-pandas fallback copy
+    _NA_TOKENS = {
+        "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN",
+        "-nan", "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN",
+        "None", "n/a", "nan", "null",
+    }
+_NA_TOKENS = frozenset(_NA_TOKENS)
+
+_INT_RE = re.compile(r"-?\d+")
+_FLOATISH_RE = re.compile(
+    r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"|[+-]?[iI][nN][fF](?:[iI][nN][iI][tT][yY])?"
+)
+_BOOL_TOKENS = frozenset({"TRUE", "True", "FALSE", "False"})
+# a line containing '"' must be standard-CSV-quoted exactly (quotes only
+# at field boundaries, '""' escapes) or the fast path refuses it
+_QUOTED_LINE_RE = re.compile(
+    r'(?:[^",]*|"(?:[^"]|"")*")(?:,(?:[^",]*|"(?:[^"]|"")*"))*'
+)
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
+
+
+def _fast_column(cells: list[str]) -> list[str | None] | object:
+    """Stringified cells of one column under pandas read_csv dtype
+    inference, restricted to the cases where the result is provably
+    identical to ``str()`` over the inferred frame:
+
+    - any-NA tokens -> None (pandas default na_values, exact match);
+    - all-int column -> int64 (``"007"`` -> ``"7"``), or float64 when
+      NAs are present (``"123"`` -> ``"123.0"``);
+    - everything else stays the raw string (object column).
+
+    Returns :data:`VISION_FALLBACK` whenever inference could diverge:
+    genuine float columns (strtod formatting), bool tokens (pandas
+    converts them even in object columns next to NAs), numeric-or-NA
+    tokens wearing surrounding whitespace (pandas strips before
+    converting), or ints outside int64.
+    """
+    na = [c in _NA_TOKENS for c in cells]
+    nonna = []
+    for c, m in zip(cells, na):
+        if m:
+            continue
+        s = c.strip()
+        if s in _BOOL_TOKENS:
+            return VISION_FALLBACK
+        if s != c and (
+            s in _NA_TOKENS or _FLOATISH_RE.fullmatch(s)
+        ):
+            return VISION_FALLBACK
+        nonna.append(c)
+    if not nonna:  # all-NA column -> float64 of NaN
+        return [None] * len(cells)
+    if all(_INT_RE.fullmatch(c) for c in nonna):
+        vals = [int(c) for c in nonna]
+        if any(v < _INT64_MIN or v > _INT64_MAX for v in vals):
+            return VISION_FALLBACK  # pandas int64-overflow edge
+        if any(na):  # int64 cannot hold NaN -> pandas widens to float64
+            return [
+                None if m else str(float(int(c))) for c, m in zip(cells, na)
+            ]
+        return [str(int(c)) for c in cells]
+    if all(_FLOATISH_RE.fullmatch(c) for c in nonna):
+        return VISION_FALLBACK  # true float column -> spec ladder decides
+    return [None if m else c for c, m in zip(cells, na)]
+
+
+def parse_vision_grid_fast(
+    csv_content: str | None,
+) -> tuple[list, list] | None | object:
+    """Fast-path equivalent of ``_frame_payload(parse_vision_csv(c))``.
+
+    Returns ``(header, rows)`` as ``str | None`` cells, ``None`` for
+    no-table content, or :data:`VISION_FALLBACK` when the content
+    leaves the grammar this parser is proven on — the caller then runs
+    the spec pandas ladder. Proven identical to the spec composition by
+    ``tests/test_vision_fastpath.py`` (stub-corpus sweep + adversarial
+    cases); anything unproven falls back rather than guessing.
+
+    Why: ``pd.read_csv`` was 52% of the vision-kernel profile at ~2 ms
+    per tiny page frame; this parser is csv.reader + per-column regex
+    classification, and the downstream consumer only ever sees the
+    stringified grid (operators/extract._frame_payload), so dtype
+    inference matters exactly as far as it changes ``str()`` output.
+    """
+    if not csv_content or not csv_content.strip():
+        return None
+    content = csv_content.strip()
+    if content.startswith("```"):
+        fence_lines = content.split("\n")
+        if len(fence_lines) > 2:
+            content = "\n".join(fence_lines[1:-1])
+    if "\r" in content:
+        return VISION_FALLBACK
+    lines = [ln for ln in content.split("\n") if ln != ""]
+    if len(lines) < 2:  # header-only / empty -> spec ladder decides
+        return VISION_FALLBACK
+    for ln in lines:
+        if '"' in ln and not _QUOTED_LINE_RE.fullmatch(ln):
+            return VISION_FALLBACK
+    try:
+        parsed = list(csv.reader(lines))
+    except Exception:
+        return VISION_FALLBACK
+    header = parsed[0]
+    width = len(header)
+    if width == 0:
+        return VISION_FALLBACK
+    seen: set[str] = set()
+    for hcell in header:
+        # duplicate names mangle ('.1'), empties become 'Unnamed: N',
+        # NA-ish or padded names have their own rules -> spec ladder
+        if (
+            hcell in seen
+            or hcell != hcell.strip()
+            or hcell in _NA_TOKENS
+            or '"' in hcell
+        ):
+            return VISION_FALLBACK
+        seen.add(hcell)
+    rows = parsed[1:]
+    for row in rows:
+        # width mismatch = index inference / NaN padding / bad-lines
+        # ladder territory; embedded quotes = tokenizer edge cases
+        if len(row) != width or any('"' in c for c in row):
+            return VISION_FALLBACK
+    cols: list[list[str | None]] = []
+    for j in range(width):
+        col = _fast_column([row[j] for row in rows])
+        if col is VISION_FALLBACK:
+            return VISION_FALLBACK
+        cols.append(col)
+    return list(header), [
+        [cols[j][i] for j in range(width)] for i in range(len(rows))
+    ]
 
 
 # ---------------------------------------------------------------------------

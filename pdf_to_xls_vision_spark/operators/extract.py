@@ -40,6 +40,8 @@ from pdf_to_xls_vision_spark.core.vision import (
     VisionBackend,
     correct_rotation,
     parse_vision_csv,
+    parse_vision_grid_fast,
+    VISION_FALLBACK,
     stub_pixels,
 )
 
@@ -199,8 +201,15 @@ def make_vision_extractor(backend: VisionBackend | None = None):
                 doc_ids, pages, refs, rotations, responses, page_texts
             ):
                 out.append(_sentinel(doc_id, page, rot, extract_numbers(ptext)))
-                df = parse_vision_csv(csv)
-                if df is None:
+                # grid fast path first (csv.reader + proven dtype-
+                # inference mimicry, tests/test_vision_fastpath.py);
+                # content outside its grammar runs the spec pandas
+                # ladder, which stays the semantic definition
+                grid = parse_vision_grid_fast(csv)
+                if grid is VISION_FALLBACK:
+                    df = parse_vision_csv(csv)
+                    grid = None if df is None else _frame_payload(df)
+                if grid is None:
                     continue
                 # stringify once, then prune + clean on the grid:
                 # _stringify maps exactly the isna set to None, so the
@@ -210,7 +219,7 @@ def make_vision_extractor(backend: VisionBackend | None = None):
                 # strings, so stringify-then-clean matches clean-then-
                 # stringify; uncleanable frames pass dirty, mirroring
                 # the reference's exception swallow
-                header, rows = _frame_payload(df)
+                header, rows = grid
                 pruned = prune_grid([header, *rows])
                 if pruned is None:
                     continue
