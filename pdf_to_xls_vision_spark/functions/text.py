@@ -273,3 +273,128 @@ def winnow_fingerprints(
 
     out_schema = "doc_id long, fingerprints array<long>"
     return docs.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics quality features (CCNet-adjacent rare-word filter,
+# tf-idf-intent distinctive terms) — all integer-exact until one final
+# division, so the DuckDB oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def doc_word_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, word, tf)`` per-document word counts: one JVM explode
+    + one count keyed by ``(doc_id, word)``. Keys are doc-local, so
+    shuffle skew is bounded by the largest single document (the same
+    guarantee as the MinHash shingle pass)."""
+    ts = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(ts).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def vocab_stats(word_counts: DataFrame) -> DataFrame:
+    """Corpus vocabulary statistics from :func:`doc_word_counts`:
+    collection frequency ``cf`` and document frequency ``df`` per word.
+    One shuffle keyed by ``word``; hot stopwords cost one partial-agg
+    row per map partition (map-side combine), never a row per
+    occurrence."""
+    return word_counts.groupBy("word").agg(
+        F.sum("tf").alias("cf"), F.count("*").alias("df")
+    )
+
+
+def rare_word_stats(
+    docs: DataFrame,
+    min_cf: int = 5,
+    max_oov_ratio: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document rare-word quality features — the CCNet-style
+    "does this document consist of words the corpus actually uses"
+    filter, with every aggregate integer-exact (bigint sums; the only
+    floats are two final single divisions, which IEEE rounds
+    identically in every engine — the lesson from the shipping-priority
+    float hazard):
+
+    - ``n_tokens`` / ``n_distinct`` — token and distinct-word counts,
+    - ``oov_count`` — token occurrences whose corpus collection
+      frequency is below ``min_cf``,
+    - ``oov_ratio`` — ``oov_count / n_tokens``,
+    - ``sum_df`` / ``mean_df`` — summed and mean per-token document
+      frequency (how "common-crawl-ish" the vocabulary is),
+    - ``keep`` — ``oov_ratio <= max_oov_ratio``.
+
+    Scale shape: two aggregation passes ((doc_id, word) then (word))
+    and one shuffle join of per-doc counts against the vocabulary on
+    ``word`` — the vocabulary of a 10^12-doc corpus is itself too big
+    to broadcast, and the join key is the same key the vocab agg just
+    shuffled on. Documents with no tokens are excluded (stated
+    semantics; ratios would be 0/0).
+    """
+    wc = doc_word_counts(docs, id_col, text_col)
+    vocab = vocab_stats(wc)
+    per_doc = (
+        wc.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("cf") < min_cf, F.col("tf")).otherwise(F.lit(0))
+            ).alias("oov_count"),
+            F.sum(F.col("tf") * F.col("df")).alias("sum_df"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "oov_count",
+        (F.col("oov_count") / F.col("n_tokens")).alias("oov_ratio"),
+        "sum_df",
+        (F.col("sum_df") / F.col("n_tokens")).alias("mean_df"),
+        (
+            (F.col("oov_count") / F.col("n_tokens")) <= F.lit(max_oov_ratio)
+        ).alias("keep"),
+    )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document, ranked by
+    ``(tf DESC, df ASC, term ASC)`` — the tf-idf ranking intent with a
+    fully deterministic integer ordering instead of a float
+    ``tf·log(N/df)`` score (which would hang cross-engine equality on
+    last-ulp ``log`` agreement). A term is distinctive when the
+    document repeats it and the rest of the corpus rarely uses it;
+    the lexicographic order ranks exactly that.
+
+    Scale shape: same two aggregates + word-keyed join as
+    :func:`rare_word_stats`; the ranking window partitions by
+    ``doc_id`` over per-doc DISTINCT words (bounded by document size,
+    never corpus-global).
+    """
+    from pyspark.sql.window import Window
+
+    wc = doc_word_counts(docs, id_col, text_col)
+    vocab = vocab_stats(wc)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("word").asc()
+    )
+    return (
+        wc.join(vocab, "word")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id", "rank", F.col("word").alias("term"), "tf", "df"
+        )
+    )

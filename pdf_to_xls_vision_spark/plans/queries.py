@@ -1609,6 +1609,85 @@ SELECT doc_id, {h60_sql('text', 'fp')} AS fingerprint FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Corpus-statistics quality features (functions/text.rare_word_stats,
+# distinctive_terms): CCNet-style rare-word filter + tf-idf-intent terms
+# ---------------------------------------------------------------------------
+
+_RARE_MIN_CF = 5
+_RARE_MAX_OOV = 0.3
+_DISTINCTIVE_K = 3
+
+
+def q_rare_word_stats(spark, sf_dir):
+    """CCNet-style rare-word quality features per document: OOV ratio
+    vs corpus collection frequency + mean document frequency. Integer-
+    exact aggregates, two final single divisions."""
+    from pdf_to_xls_vision_spark.functions.text import rare_word_stats
+
+    return rare_word_stats(
+        _t(spark, sf_dir, "documents"),
+        min_cf=_RARE_MIN_CF,
+        max_oov_ratio=_RARE_MAX_OOV,
+    )
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Top-k distinctive terms per doc by (tf DESC, df ASC, term ASC) —
+    tf-idf's ranking intent under a deterministic integer order."""
+    from pdf_to_xls_vision_spark.functions.text import distinctive_terms
+
+    return distinctive_terms(_t(spark, sf_dir, "documents"), k=_DISTINCTIVE_K)
+
+
+_SQL_WORD_COUNTS = """
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+),
+wc AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT word, sum(tf)::BIGINT AS cf, count(*)::BIGINT AS df
+  FROM wc GROUP BY 1
+)
+"""
+
+SQL_RARE_WORD_STATS = f"""
+WITH {_SQL_WORD_COUNTS},
+per_doc AS (
+  SELECT w.doc_id,
+         sum(w.tf)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS n_distinct,
+         sum(CASE WHEN v.cf < {_RARE_MIN_CF} THEN w.tf ELSE 0 END)::BIGINT
+           AS oov_count,
+         sum(w.tf * v.df)::BIGINT AS sum_df
+  FROM wc w JOIN vocab v USING (word)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct, oov_count,
+       oov_count / n_tokens AS oov_ratio,
+       sum_df,
+       sum_df / n_tokens AS mean_df,
+       (oov_count / n_tokens) <= {_RARE_MAX_OOV} AS keep
+FROM per_doc
+"""
+
+SQL_DISTINCTIVE_TERMS = f"""
+WITH {_SQL_WORD_COUNTS},
+ranked AS (
+  SELECT w.doc_id,
+         row_number() OVER (
+           PARTITION BY w.doc_id
+           ORDER BY w.tf DESC, v.df ASC, w.word ASC
+         )::INT AS rank,
+         w.word AS term, w.tf, v.df
+  FROM wc w JOIN vocab v USING (word)
+)
+SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= {_DISTINCTIVE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style n-gram repetition filters (functions/text.ngram_repetition)
 # ---------------------------------------------------------------------------
 
@@ -3147,6 +3226,8 @@ QUERIES = {
     "sketch_countmin_words": q_countmin_words,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
+    "text_rare_word_stats": q_rare_word_stats,
+    "text_distinctive_terms": q_distinctive_terms,
     "text_repetition_filters": q_text_repetition,
     "text_pii_scrub": q_pii_scrub,
     "dedup_paragraph_chunks": q_dedup_chunks,
@@ -3231,6 +3312,8 @@ ORACLES = {
     "sketch_countmin_words": _sql_countmin_words(),
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
+    "text_rare_word_stats": SQL_RARE_WORD_STATS,
+    "text_distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "text_repetition_filters": _sql_text_repetition(),
     "text_pii_scrub": _sql_pii_scrub(),
     "dedup_paragraph_chunks": _sql_dedup_chunks(),
