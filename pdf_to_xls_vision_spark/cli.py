@@ -109,6 +109,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="event-time watermark for sessionize/windowed, e.g. "
         "'30 minutes' — how long to wait for stragglers",
     )
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="maintenance mode: bin-pack small parquet files in the "
+        "output span table (the Iceberg rewrite_data_files analog); "
+        "no extraction runs and the input path is ignored",
+    )
+    p.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=128,
+        help="with --compact: target output file size in MiB",
+    )
     return p
 
 
@@ -216,6 +229,11 @@ def main(argv: list[str] | None = None) -> int:
         run_checkpointed_extraction,
     )
 
+    if args.compact and args.no_resume:
+        raise SystemExit(
+            "--compact maintains the existing output table; "
+            "--no-resume would delete it first"
+        )
     if args.no_resume:
         shutil.rmtree(args.output, ignore_errors=True)
 
@@ -227,6 +245,29 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("pdf_to_xls_vision_spark.cli", master=args.master)
     spark.sparkContext.setLogLevel("WARN")
     try:
+        if args.compact:
+            from pdf_to_xls_vision_spark.sink.compaction import compact_spans
+
+            res = compact_spans(
+                spark,
+                args.output,
+                target_file_bytes=args.target_file_mb * 1024 * 1024,
+            )
+            print(
+                json.dumps(
+                    {
+                        "mode": "compact",
+                        "output": args.output,
+                        "compacted_buckets": sorted(res["compacted"]),
+                        "skipped_buckets": res["skipped"],
+                        "files_rewritten": sum(
+                            info["files_before"]
+                            for info in res["compacted"].values()
+                        ),
+                    }
+                )
+            )
+            return 0
         if args.stream:
             return _run_stream(spark, args)
         docs = spark.read.parquet(args.input)

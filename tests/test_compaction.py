@@ -111,3 +111,24 @@ def test_compaction_splits_large_buckets(spark, populated):
         for b in res["compacted"]
     )
     assert _rowset(spark, out) == before_rows
+
+
+@pytest.mark.slow
+def test_cli_compact_mode(spark, populated, capsys):
+    import json
+
+    from pdf_to_xls_vision_spark.cli import main
+
+    out = populated
+    rc = main(["ignored-input", "-o", out, "--compact"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["mode"] == "compact"
+    assert summary["compacted_buckets"] == list(range(N_BUCKETS))
+    assert summary["files_rewritten"] > N_BUCKETS
+    assert all(
+        len(fs) == 1 for fs in list_bucket_files(spark, out).values()
+    )
+    # --no-resume would delete the table being maintained: refused
+    with pytest.raises(SystemExit):
+        main(["ignored-input", "-o", out, "--compact", "--no-resume"])
