@@ -203,9 +203,11 @@ except Exception:  # pragma: no cover - pinned-pandas fallback copy
     }
 _NA_TOKENS = frozenset(_NA_TOKENS)
 
-_INT_RE = re.compile(r"-?\d+")
+# ASCII-only digit classes: Python's \d (and int()) accept Unicode
+# digits like '٣', which pandas' C parser leaves as strings
+_INT_RE = re.compile(r"-?[0-9]+")
 _FLOATISH_RE = re.compile(
-    r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
     r"|[+-]?[iI][nN][fF](?:[iI][nN][iI][tT][yY])?"
 )
 _BOOL_TOKENS = frozenset({"TRUE", "True", "FALSE", "False"})

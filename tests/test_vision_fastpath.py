@@ -72,6 +72,14 @@ INT_NA_CASES = [
     "a\n12.34%\n5.00%",
     # markdown fence strip
     "```csv\nRow_Type,Category\nDETAIL,Rent\n```",
+    # Unicode digits: int()-parseable in Python but strings to pandas'
+    # C parser — must stay raw (ASCII-only regex classes)
+    "a,b\n٣,x\n١٢٣,y",
+    "a,b\n１２３,x\n1,y",
+    # underscore ints: int()-parseable, strings to pandas
+    "a,b\n123_456,x\n1,y",
+    # lone dot is not a number
+    "a,b\n.,x\n1,y",
 ]
 
 
