@@ -51,6 +51,26 @@ SUBMIT_EVIDENCE = '\n## spark-submit execution evidence\n\nThe north rule\'s inv
 N_MAX = 32            # absolute-throughput headline level
 LEVELS = (N_LOW, N_HIGH, N_MAX)
 
+# evidence recorded in earlier sessions that must survive regeneration
+RETAINED_SECTIONS = """
+## Co-located join via bucketing (round 4, session 3)
+
+`scripts/demo_bucketed_join.py` (sf0.01, broadcast disabled to force
+the sort-merge path a 100 TB fact-fact join takes):
+
+    {"plain_join_exchanges": 4, "bucketed_join_exchanges": 0,
+     "plain_full_exchanges": 6, "bucketed_full_exchanges": 2,
+     "rows_match": true, "n_groups": 5}
+
+Writing lineitem/orders `bucketBy(16, key).sortBy(key)` makes the join
+itself ZERO-shuffle (the bucket layout is the hash partitioning, the
+per-bucket sort order feeds SortMergeJoin directly); only the final
+small groupBy exchanges. Identical results to the plain join. This is
+the write-once/join-many pre-payment a recurring 10^12-row fact-fact
+join wants, and the same keyed-output discipline the ingest sink's
+bucket commits follow.
+"""
+
 
 def corpus_path(n_docs: int) -> str:
     return os.path.join(
@@ -178,7 +198,7 @@ Reference single-node baseline (BASELINE.md): the reference processes
 publishes no text-path throughput; this engine's local[32] extraction
 throughput above is the matched-scale comparison point.
 """
-                + SUBMIT_EVIDENCE)
+                + SUBMIT_EVIDENCE + RETAINED_SECTIONS)
     print(json.dumps({
         "docs": args.docs,
         "best_sec": {str(c): best[c] for c in LEVELS},
