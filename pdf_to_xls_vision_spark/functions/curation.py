@@ -421,3 +421,44 @@ def decontaminate(
             (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    weights: list[tuple[str, float]] | None = None,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the document's portable
+    60-bit hash falls into one of the cumulative-weight intervals
+    ``[floor(cum_i * 2^60), floor(cum_{i+1} * 2^60))``. Integer
+    thresholds -> the split of every document is bit-identical across
+    engines, reruns, partitionings, and cluster sizes — the property a
+    training pipeline needs so no document ever migrates between train
+    and eval when the corpus is re-sharded or appended to.
+
+    ``weights`` is an ORDERED list of ``(name, weight)`` (weights
+    normalized over their sum; order defines the intervals, so keep it
+    stable across runs). Map-only: one hash + a chain of threshold
+    comparisons, no shuffle, no join.
+    """
+    if weights is None:
+        weights = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+    if not weights or any(w <= 0 for _, w in weights):
+        raise ValueError("weights must be positive")
+    total = float(sum(w for _, w in weights))
+    h = _h60_of(id_col, salt)
+    expr = None
+    cum = 0.0
+    # last interval takes everything remaining: no hash is unassigned
+    for name, w in weights[:-1]:
+        cum += w / total
+        thr = min(int(cum * (1 << 60)), 1 << 60)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), h.alias("h60"), split.alias("split")
+    )

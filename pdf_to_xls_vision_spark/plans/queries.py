@@ -2396,6 +2396,35 @@ WHERE {h} < (CASE lang {cases} ELSE {default_thr} END)
 """
 
 
+_SPLIT_WEIGHTS = [("train", 0.9), ("val", 0.05), ("test", 0.05)]
+
+
+def q_assign_splits(spark, sf_dir):
+    """Deterministic train/val/test assignment by integer hash
+    intervals — bit-identical across engines/partitionings/reruns, so
+    documents never migrate between train and eval. Map-only."""
+    from pdf_to_xls_vision_spark.functions.curation import assign_splits
+
+    return assign_splits(_t(spark, sf_dir, "documents"), _SPLIT_WEIGHTS)
+
+
+def _sql_assign_splits() -> str:
+    h = h60_sql("doc_id", "split")
+    total = sum(w for _, w in _SPLIT_WEIGHTS)
+    cases, cum = [], 0.0
+    for name, w in _SPLIT_WEIGHTS[:-1]:
+        cum += w / total
+        thr = min(int(cum * (1 << 60)), 1 << 60)
+        cases.append(f"WHEN {h} < {thr} THEN '{name}'")
+    last = _SPLIT_WEIGHTS[-1][0]
+    case_sql = " ".join(cases)
+    return f"""
+SELECT doc_id, {h} AS h60,
+       CASE {case_sql} ELSE '{last}' END AS split
+FROM documents
+"""
+
+
 def q_quota_sample(spark, sf_dir):
     """Exact-count stratified sample by source: per stratum, the
     quota smallest-hash documents (two-phase salted top-k underneath,
@@ -3217,6 +3246,7 @@ QUERIES = {
     "curation_token_budget": q_token_budget_sample,
     "curation_token_budget_sharded": q_token_budget_sample_sharded,
     "curation_hash_sample": q_hash_sample,
+    "curation_train_val_test": q_assign_splits,
     "curation_quota_sample": q_quota_sample,
     "curation_shuffle_order": q_shuffle_order,
     "curation_chunk_documents": q_chunk_documents,
@@ -3303,6 +3333,7 @@ ORACLES = {
     "curation_token_budget": _sql_token_budget_sample(),
     "curation_token_budget_sharded": _sql_token_budget_sample(sharded=True),
     "curation_hash_sample": _sql_hash_sample(),
+    "curation_train_val_test": _sql_assign_splits(),
     "curation_quota_sample": _sql_quota_sample(),
     "curation_shuffle_order": _sql_shuffle_order(),
     "curation_chunk_documents": _sql_chunk_documents(),

@@ -141,3 +141,33 @@ def test_pack_sequences_token_ranges_are_exact(spark):
             assert r["last_bin"] == (cum - 1) // 64
     # packing must straddle at least one bin boundary in this fixture
     assert any(r["first_bin"] != r["last_bin"] for r in out)
+
+
+def test_assign_splits_partition_invariant_and_total(spark, docs):
+    from pdf_to_xls_vision_spark.functions.curation import assign_splits
+
+    weights = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = {r["doc_id"]: r["split"] for r in assign_splits(docs, weights).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(docs.repartition(7), weights).collect()
+    }
+    assert a == b  # re-sharding never migrates a document
+    assert set(a) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    counts = {}
+    for s in a.values():
+        counts[s] = counts.get(s, 0) + 1
+    # every interval non-empty and ordered roughly by weight
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]
+
+
+def test_assign_splits_rejects_bad_weights(spark, docs):
+    import pytest as _pytest
+
+    from pdf_to_xls_vision_spark.functions.curation import assign_splits
+
+    with _pytest.raises(ValueError):
+        assign_splits(docs, [("train", 1.0), ("val", 0.0)])
+    with _pytest.raises(ValueError):
+        assign_splits(docs, [])
