@@ -36,7 +36,7 @@ from pdf_to_xls_vision_spark.functions.dedup import (
     minhash_signatures,
     simhash,
 )
-from pdf_to_xls_vision_spark.functions.hashing import h60_sql
+from pdf_to_xls_vision_spark.functions.hashing import h60, h60_sql
 from pdf_to_xls_vision_spark.functions.text import (
     BPE_TOKEN_PATTERN,
     bpe_token_count_expr,
@@ -3128,6 +3128,67 @@ GROUP BY user_id, segment
 """
 
 
+def q_streaming_dedup_docs(spark, sf_dir):
+    """Batch parity of the watermarked streaming dedup
+    (streaming/dedup.py): driving the corpus as a file stream — split
+    across files with maxFilesPerTrigger=1 so duplicates genuinely
+    cross micro-batch boundaries — must emit exactly the distinct
+    content fingerprints. Every copy's synthetic event time
+    (doc_id mod 86400 seconds into one day) lies within the 25-hour
+    watermark of every other, so the within-watermark drop guarantee
+    covers all duplicate pairs and parity with SELECT DISTINCT is
+    exact. Only the key column is projected: which payload copy
+    survives is batching-dependent by design (module docstring)."""
+    import atexit
+    import shutil
+
+    from pdf_to_xls_vision_spark.streaming.dedup import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="ptxv_stream_dedup_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    (
+        _t(spark, sf_dir, "documents")
+        .select(
+            h60("text", "exact").alias("content_hash"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") % 86400
+            ).alias("ts"),
+        )
+        .repartition(4)  # duplicates scattered across 4 input files
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    stream = (
+        spark.readStream.schema("content_hash long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        dedup_stream(stream, ["content_hash"], watermark="25 hours")
+        .select("content_hash")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming parity run 'dedup' timed out after 600s — "
+            "refusing to compare a partial sink against the oracle"
+        )
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAMING_DEDUP_DOCS = f"""
+SELECT DISTINCT {h60_sql('text', 'exact')} AS content_hash
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # expected-parquet oracles for the non-SQL-expressible queries
 # (generated by scripts/gen_expected.py; provenance documented there)
@@ -3279,6 +3340,7 @@ QUERIES = {
     # fixture — batch equivalence checked against the DuckDB batch SQL
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_sessionize": q_streaming_sessionize,
+    "streaming_dedup_docs": q_streaming_dedup_docs,
     # non-SQL-expressible — oracled against materialized expected
     # parquet (scripts/gen_expected.py documents each fixture's
     # provenance: sequential oracle / sequential replay / snapshot)
@@ -3364,6 +3426,7 @@ ORACLES = {
     "join_shipping_priority": SQL_SHIPPING_PRIORITY,
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED_COUNTS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
+    "streaming_dedup_docs": SQL_STREAMING_DEDUP_DOCS,
     "extraction_spans": SQL_EXTRACTION_SPANS,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "multimodal_media_features": SQL_MEDIA_FEATURES,
