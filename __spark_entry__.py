@@ -25,9 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
     kind,text,media_ref,offset>>``), which the driver's TPC-H-ish
     tables do not carry — per the brief it is synthesised
     deterministically (corpus.py, seed 42) rather than read from
-    sf0.001. The sf-dir-driven queries live in ``queries()`` — 72
-    entries, every one with a DuckDB oracle (plans/queries.py
-    documents each oracle's provenance class).
+    sf0.001. The sf-dir-driven queries live in ``queries()`` — every
+    entry with a DuckDB oracle (plans/queries.py documents each
+    oracle's provenance class; ``len(QUERIES) == len(ORACLES)``).
     """
     from pdf_to_xls_vision_spark.plans.queries import q_extraction_spans
 

@@ -64,6 +64,9 @@ HEADLINE = [
     "join_asof_purchase_view",
     "join_range_error_context",
     "window_topk_per_segment",
+    "index_postings",
+    "text_quality_classifier",
+    "profile_events_stats",
 ]
 
 

@@ -3190,6 +3190,188 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# Inverted index (functions/index.py), hashed-linear quality classifier
+# (functions/scoring.py), single-pass profiling (functions/profile.py),
+# stream-static enrichment (streaming/enrich.py)
+# ---------------------------------------------------------------------------
+
+_POSTING_MIN_DF = 2
+_POSTING_MAX_DF = 400  # both bounds live on the 500-doc corpus: the
+# hottest term (df 402) is stop-listed, singleton terms are dropped
+
+
+def q_index_postings(spark, sf_dir):
+    """Inverted-index posting rows (term, df, doc_id, tf, first_pos)
+    for the df band [2, 400] — posting ROWS, never concatenated lists,
+    so no term is ever a one-reducer hot key (functions/index.py)."""
+    from pdf_to_xls_vision_spark.functions.index import posting_table
+
+    return posting_table(
+        _t(spark, sf_dir, "documents"),
+        min_df=_POSTING_MIN_DF,
+        max_df=_POSTING_MAX_DF,
+    )
+
+
+SQL_INDEX_POSTINGS = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos
+  FROM base
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         CAST(min(pos) AS INT) AS first_pos
+  FROM toks GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1)
+SELECT p.term, d.df, p.doc_id, p.tf, p.first_pos
+FROM postings p JOIN dfreq d USING (term)
+WHERE d.df >= {_POSTING_MIN_DF} AND d.df <= {_POSTING_MAX_DF}
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality filter: token → hashed
+    bucket → integer weight, one map-only pass + one per-doc aggregate
+    (functions/scoring.py). Weights are hash-derived stand-ins for a
+    learned vector so the oracle replays scoring bit-for-bit."""
+    from pdf_to_xls_vision_spark.functions.scoring import score_documents
+
+    return score_documents(_t(spark, sf_dir, "documents"))
+
+
+def _sql_quality_classifier() -> str:
+    bucket = f"({h60_sql('term', 'qcb')} % 256)"
+    weight = f"(({h60_sql(f'CAST({bucket} AS VARCHAR)', 'qcw')} % 17) - 8)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+wt AS (SELECT doc_id, {weight} AS w FROM toks),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS score
+  FROM wt GROUP BY 1
+)
+SELECT doc_id, n_tokens, score,
+       score / n_tokens AS score_per_token,
+       score >= 0 AS keep
+FROM agg
+"""
+
+
+_PROFILE_COLS = ["event_id", "user_id", "value"]
+_HIST_WIDTH = 25.0
+
+
+def q_profile_events_stats(spark, sf_dir):
+    """ANALYZE-style per-column stats (null count, exact distinct,
+    min/max) for the numeric event columns in ONE scan via melt —
+    the naive per-column loop reads the table once per column
+    (functions/profile.py)."""
+    from pdf_to_xls_vision_spark.functions.profile import (
+        profile_numeric_columns,
+    )
+
+    return profile_numeric_columns(_t(spark, sf_dir, "events"), _PROFILE_COLS)
+
+
+SQL_PROFILE_EVENTS_STATS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min(CAST({c} AS DOUBLE)) AS min_val,
+       max(CAST({c} AS DOUBLE)) AS max_val
+FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+def q_profile_value_histogram(spark, sf_dir):
+    """Equi-width histogram of the event value column: bucket =
+    floor(value / width) — a single IEEE double division + floor, safe
+    cross-engine (never ACCUMULATE doubles across engines; single
+    expressions are exact). Bucket count bounded by the value range,
+    so the shuffle carries metadata-scale rows at any corpus size."""
+    from pdf_to_xls_vision_spark.functions.profile import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "events"), "value", _HIST_WIDTH)
+
+
+SQL_PROFILE_VALUE_HISTOGRAM = f"""
+SELECT CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH} AS lo,
+       count(*)::BIGINT AS n,
+       min(value) AS bucket_min,
+       max(value) AS bucket_max
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_streaming_enrich_join(spark, sf_dir):
+    """Batch parity of the stream-static enrichment join
+    (streaming/enrich.py): events driven as a 4-file stream
+    (maxFilesPerTrigger=1, so the dimension is re-read and re-joined
+    per micro-batch) left-joined to the broadcast customer registry
+    must equal the batch left join. c_custkey is unique, so the join
+    never fans out and append-mode row counts are exact."""
+    import atexit
+    import shutil
+
+    from pdf_to_xls_vision_spark.streaming.enrich import enrich_stream
+
+    base = tempfile.mkdtemp(prefix="ptxv_stream_enrich_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        enrich_stream(stream, dim, "user_id", how="left")
+        .select("event_id", "user_id", "event_type", "segment")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming parity run 'enrich' timed out after 600s — "
+            "refusing to compare a partial sink against the oracle"
+        )
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAMING_ENRICH_JOIN = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey - 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # expected-parquet oracles for the non-SQL-expressible queries
 # (generated by scripts/gen_expected.py; provenance documented there)
 # ---------------------------------------------------------------------------
@@ -3341,6 +3523,12 @@ QUERIES = {
     "streaming_windowed_counts": q_streaming_windowed_counts,
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_dedup_docs": q_streaming_dedup_docs,
+    "streaming_enrich_join": q_streaming_enrich_join,
+    # IR / model-scoring / profiling families
+    "index_postings": q_index_postings,
+    "text_quality_classifier": q_quality_classifier,
+    "profile_events_stats": q_profile_events_stats,
+    "profile_value_histogram": q_profile_value_histogram,
     # non-SQL-expressible — oracled against materialized expected
     # parquet (scripts/gen_expected.py documents each fixture's
     # provenance: sequential oracle / sequential replay / snapshot)
@@ -3427,6 +3615,11 @@ ORACLES = {
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED_COUNTS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_dedup_docs": SQL_STREAMING_DEDUP_DOCS,
+    "streaming_enrich_join": SQL_STREAMING_ENRICH_JOIN,
+    "index_postings": SQL_INDEX_POSTINGS,
+    "text_quality_classifier": _sql_quality_classifier(),
+    "profile_events_stats": SQL_PROFILE_EVENTS_STATS,
+    "profile_value_histogram": SQL_PROFILE_VALUE_HISTOGRAM,
     "extraction_spans": SQL_EXTRACTION_SPANS,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "multimodal_media_features": SQL_MEDIA_FEATURES,
