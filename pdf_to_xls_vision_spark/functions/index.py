@@ -75,3 +75,40 @@ def posting_table(
     return postings.join(band, "term").select(
         "term", "df", "doc_id", "tf", "first_pos"
     )
+
+
+SEARCH_SCALE = 1_000_000_000
+
+
+def search_topk(
+    postings: DataFrame, query_terms: list[str], k: int = 10
+) -> DataFrame:
+    """Term-at-a-time bag-of-terms retrieval over a posting table:
+
+    ``score(doc) = sum over matched terms of tf * (SCALE div df)``
+
+    — tf-idf's shape with an integer idf surrogate (``SCALE div df``
+    is exact integer division, so scores are engine-order-independent
+    bigints, never float-log accumulations). Returns the global top-k
+    ``(doc_id, score, n_terms_matched)`` under the strict total order
+    ``(score DESC, doc_id ASC)``, so the result SET is deterministic
+    even through ties at the cut.
+
+    Scale shape: the term filter is a pushed-down predicate on the
+    posting table (a real deployment partitions/buckets the index by
+    term, so only the query terms' posting ranges are scanned — query
+    cost is bounded by posting-list length, not corpus size); one
+    ``doc_id`` aggregate over matched postings; the global top-k
+    compiles to ``TakeOrderedAndProject`` (per-partition heap + driver
+    merge of k rows), never a global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must name at least one term")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    matched = postings.where(F.col("term").isin(list(query_terms)))
+    scored = matched.groupBy("doc_id").agg(
+        F.sum(F.expr(f"tf * ({SEARCH_SCALE} div df)")).alias("score"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

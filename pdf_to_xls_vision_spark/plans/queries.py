@@ -3234,6 +3234,54 @@ WHERE d.df >= {_POSTING_MIN_DF} AND d.df <= {_POSTING_MAX_DF}
 """
 
 
+_SEARCH_TERMS = ["fast", "key", "dup"]  # two common terms + one rare
+# (df 25 of 500) so idf weighting visibly reorders; absent terms are
+# covered by pytest
+_SEARCH_K = 25
+
+
+def q_index_search(spark, sf_dir):
+    """Term-at-a-time bag-of-terms retrieval over the full posting
+    table: integer idf surrogate (SCALE div df), global top-k via
+    TakeOrderedAndProject under the strict (score DESC, doc_id ASC)
+    order — the result SET is deterministic through score ties at the
+    cut (functions/index.py)."""
+    from pdf_to_xls_vision_spark.functions.index import (
+        posting_table,
+        search_topk,
+    )
+
+    postings = posting_table(_t(spark, sf_dir, "documents"), min_df=1)
+    return search_topk(postings, _SEARCH_TERMS, k=_SEARCH_K)
+
+
+def _sql_index_search() -> str:
+    from pdf_to_xls_vision_spark.functions.index import SEARCH_SCALE
+
+    terms = ", ".join(f"'{t}'" for t in _SEARCH_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(toks) AS term FROM base),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         sum(p.tf * (CAST({SEARCH_SCALE} AS BIGINT) // d.df))::BIGINT AS score,
+         count(*)::BIGINT AS n_terms_matched
+  FROM postings p JOIN dfreq d USING (term)
+  WHERE p.term IN ({terms})
+  GROUP BY 1
+)
+SELECT doc_id, score, n_terms_matched
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {_SEARCH_K}
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """fastText-style hashed linear quality filter: token → hashed
     bucket → integer weight, one map-only pass + one per-doc aggregate
@@ -3526,6 +3574,7 @@ QUERIES = {
     "streaming_enrich_join": q_streaming_enrich_join,
     # IR / model-scoring / profiling families
     "index_postings": q_index_postings,
+    "index_search_topk": q_index_search,
     "text_quality_classifier": q_quality_classifier,
     "profile_events_stats": q_profile_events_stats,
     "profile_value_histogram": q_profile_value_histogram,
@@ -3617,6 +3666,7 @@ ORACLES = {
     "streaming_dedup_docs": SQL_STREAMING_DEDUP_DOCS,
     "streaming_enrich_join": SQL_STREAMING_ENRICH_JOIN,
     "index_postings": SQL_INDEX_POSTINGS,
+    "index_search_topk": _sql_index_search(),
     "text_quality_classifier": _sql_quality_classifier(),
     "profile_events_stats": SQL_PROFILE_EVENTS_STATS,
     "profile_value_histogram": SQL_PROFILE_VALUE_HISTOGRAM,

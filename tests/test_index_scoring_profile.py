@@ -11,7 +11,11 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from pdf_to_xls_vision_spark.functions.index import posting_table
+from pdf_to_xls_vision_spark.functions.index import (
+    SEARCH_SCALE,
+    posting_table,
+    search_topk,
+)
 from pdf_to_xls_vision_spark.functions.profile import (
     numeric_histogram,
     profile_numeric_columns,
@@ -78,6 +82,25 @@ def test_posting_table_positions_and_validation(spark, docs):
         posting_table(docs, min_df=0)
     with pytest.raises(ValueError, match="max_df"):
         posting_table(docs, min_df=3, max_df=2)
+
+
+def test_search_topk_scores_and_ties(spark, docs):
+    postings = posting_table(docs, min_df=1)
+    got = search_topk(postings, ["cat", "the", "zzz-absent"], k=10).collect()
+    # model: score = tf * (SCALE // df); df(cat)=2, df(the)=2
+    w = SEARCH_SCALE // 2
+    expect = {1: (2 * w + 1 * w, 2), 2: (1 * w, 1), 3: (3 * w, 1)}
+    assert {r["doc_id"]: (r["score"], r["n_terms_matched"]) for r in got} == expect
+    # ranking: doc3 (3w) > doc1 (3w)? equal -> tie broken by doc_id asc
+    order = [r["doc_id"] for r in got]
+    assert order == [1, 3, 2]  # doc1 and doc3 tie at 3w; doc_id asc
+    # k cut keeps the strict total order deterministic
+    top1 = search_topk(postings, ["cat", "the"], k=1).collect()
+    assert [r["doc_id"] for r in top1] == [1]
+    with pytest.raises(ValueError, match="at least one term"):
+        search_topk(postings, [])
+    with pytest.raises(ValueError, match="k must be"):
+        search_topk(postings, ["cat"], k=0)
 
 
 def test_score_documents_partitioning_independent_and_exact(spark, docs):
