@@ -329,3 +329,102 @@ def dedup_chunks(
             ).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    salt: str = "ngspan",
+) -> DataFrame:
+    """Exact substring dedup at word n-gram granularity (the
+    Lee et al. 2021 "Deduplicating Training Data" move, quantized to
+    n-gram starts): find every maximal word span whose n-grams ALL
+    occur elsewhere in the corpus, keeping the corpus-first occurrence
+    of each gram as canonical (first-writer-wins by ``(doc_id, pos)``,
+    matching :func:`dedup_chunks`).
+
+    Returns one row per maximal duplicated span:
+    ``(doc_id, span_start, span_end, span_words)`` — word indices,
+    inclusive. Overlapping and touching duplicate-gram intervals
+    ``[pos, pos+n-1]`` merge into one span (contiguous duplicated text
+    is one region to mask, whatever mix of sources it repeats).
+
+    Scale shape: gram occurrences are ``(doc_id, pos, h60(gram))``
+    rows; duplicate detection is ONE groupBy on the gram hash with
+    ``count(*)`` + ``min(struct(doc_id, pos))`` — both partial-agg
+    (map-side combine), so a stopword-run gram repeated 10^9 times is
+    combined per partition, never a one-reducer window. The
+    occurrence→dup-gram join shuffles on the hash; the interval merge
+    is a per-document window (state bounded by document length). All
+    arithmetic is integer, so results are partitioning- and
+    engine-independent.
+    """
+    from pyspark.sql.window import Window
+
+    if n < 2:
+        raise ValueError("n must be >= 2 (unigram spans are just rare-word stats)")
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    occ = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("toks"))
+        .where(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        h60(
+                            F.array_join(F.slice("toks", p + 1, n), " "), salt
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    stats = occ.groupBy("gh").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    dups = (
+        occ.join(stats.where(F.col("cnt") > 1), "gh")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos", (F.col("pos") + n - 1).alias("e"))
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("e").over(prev)
+    flagged = dups.withColumn(
+        "new_span",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    spans = flagged.withColumn("span_id", F.sum("new_span").over(run))
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("bigint")
+            .alias("span_words"),
+        )
+    )

@@ -1877,6 +1877,61 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+_NGSPAN_N = 8
+
+
+def q_ngram_spans(spark, sf_dir):
+    """Exact substring dedup at word 8-gram granularity (Lee et al.
+    2021 shape): maximal duplicated word spans per document,
+    first-writer-wins canonical occurrence kept. Dup detection is one
+    partial-agg groupBy on the gram hash (hot grams map-side combine);
+    interval merge is a per-doc window (functions/dedup.py)."""
+    from pdf_to_xls_vision_spark.functions.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=_NGSPAN_N)
+
+
+def _sql_ngram_spans() -> str:
+    from pdf_to_xls_vision_spark.functions.hashing import h60_sql
+
+    n = _NGSPAN_N
+    gh = h60_sql(f"array_to_string(toks[pos + 1 : pos + {n}], ' ')", "ngspan")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, pos, {gh} AS gh
+  FROM (SELECT doc_id, toks, unnest(range(len(toks) - {n} + 1)) AS pos
+        FROM base WHERE len(toks) >= {n})
+),
+dups AS (
+  SELECT doc_id, pos, pos + {n} - 1 AS e
+  FROM occ
+  QUALIFY row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) > 1
+),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM dups
+),
+spans AS (
+  SELECT doc_id, pos, e,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM flagged
+)
+SELECT doc_id,
+       min(pos)::BIGINT AS span_start,
+       max(e)::BIGINT AS span_end,
+       (max(e) - min(pos) + 1)::BIGINT AS span_words
+FROM spans GROUP BY doc_id, span_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # HTML boilerplate strip / main content (north-rule parenthetical)
 # ---------------------------------------------------------------------------
@@ -3552,6 +3607,7 @@ QUERIES = {
     "text_repetition_filters": q_text_repetition,
     "text_pii_scrub": q_pii_scrub,
     "dedup_paragraph_chunks": q_dedup_chunks,
+    "dedup_ngram_spans": q_ngram_spans,
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
     "agg_pricing_rollup": q_pricing_rollup,
@@ -3647,6 +3703,7 @@ ORACLES = {
     "text_repetition_filters": _sql_text_repetition(),
     "text_pii_scrub": _sql_pii_scrub(),
     "dedup_paragraph_chunks": _sql_dedup_chunks(),
+    "dedup_ngram_spans": _sql_ngram_spans(),
     "html_strip_tags": SQL_HTML_STRIP_TAGS,
     "agg_pricing_summary": SQL_PRICING_SUMMARY,
     "agg_pricing_rollup": SQL_PRICING_ROLLUP,
