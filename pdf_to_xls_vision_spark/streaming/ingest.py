@@ -152,15 +152,26 @@ def stream_extraction(
     return writer.start()
 
 
-def read_stream_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_stream_committed(
+    spark: SparkSession, out_dir: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Committed stream output: rows whose (ingest_batch, bucket) has a
-    manifest row — a replayed-but-uncommitted micro-batch is invisible."""
+    manifest row — a replayed-but-uncommitted micro-batch is invisible.
+
+    ``as_of_batch`` is the Iceberg snapshot-read analog: only batches
+    with ``ingest_batch <= as_of_batch`` are visible, reproducing the
+    table exactly as a reader saw it after that micro-batch committed
+    (the sink only appends new ``ingest_batch=`` partitions, so
+    history is never rewritten). The bound is applied to BOTH the span
+    scan (a partition-pruning predicate on the ``ingest_batch=``
+    directory layout — pruned batches are never read) and the
+    manifest, keeping the gate and the data consistent."""
     spans = spark.read.parquet(_spans_dir(out_dir))
-    manifest = (
-        spark.read.parquet(_manifest_dir(out_dir))
-        .select("ingest_batch", "bucket")
-        .distinct()
-    )
+    manifest = spark.read.parquet(_manifest_dir(out_dir))
+    if as_of_batch is not None:
+        spans = spans.where(F.col("ingest_batch") <= as_of_batch)
+        manifest = manifest.where(F.col("ingest_batch") <= as_of_batch)
+    gate = manifest.select("ingest_batch", "bucket").distinct()
     return spans.join(
-        F.broadcast(manifest), ["ingest_batch", "bucket"], "left_semi"
+        F.broadcast(gate), ["ingest_batch", "bucket"], "left_semi"
     )

@@ -68,6 +68,23 @@ def test_stream_matches_batch_and_resumes(spark, tiny_corpus, tmp_path):
     )
     assert batches_per_doc.filter(F.col("n") > 1).count() == 0
 
+    # snapshot read (Iceberg time-travel analog): as-of the last batch
+    # of the FIRST run reproduces exactly the pre-restart table — the
+    # sink appends new ingest_batch= partitions, never rewrites history
+    first_max = first.agg(F.max("ingest_batch")).collect()[0][0]
+    snap = read_stream_committed(spark, out_dir, as_of_batch=first_max)
+    assert _span_set(snap.select("doc_id", "spans")) == _span_set(
+        first.select("doc_id", "spans")
+    )
+    assert snap.count() == 20
+    # as-of beyond the newest batch sees everything
+    assert (
+        read_stream_committed(spark, out_dir, as_of_batch=first_max + 10).count()
+        == len(docs)
+    )
+    # as-of before the first batch sees nothing
+    assert read_stream_committed(spark, out_dir, as_of_batch=-1).count() == 0
+
 
 @pytest.mark.slow
 def test_replayed_micro_batch_manifest_idempotent(spark, tiny_corpus, tmp_path):
