@@ -110,6 +110,15 @@ def build_parser() -> argparse.ArgumentParser:
         "'30 minutes' — how long to wait for stragglers",
     )
     p.add_argument(
+        "--read-snapshot",
+        type=int,
+        default=None,
+        metavar="BATCH",
+        help="read-only mode: report the streaming output table as of "
+        "ingest batch BATCH (Iceberg time-travel analog); no "
+        "extraction runs and the input path is ignored",
+    )
+    p.add_argument(
         "--compact",
         action="store_true",
         help="maintenance mode: bin-pack small parquet files in the "
@@ -234,6 +243,11 @@ def main(argv: list[str] | None = None) -> int:
             "--compact maintains the existing output table; "
             "--no-resume would delete it first"
         )
+    if args.read_snapshot is not None and args.no_resume:
+        raise SystemExit(
+            "--read-snapshot reads the existing output table; "
+            "--no-resume would delete it first"
+        )
     if args.no_resume:
         shutil.rmtree(args.output, ignore_errors=True)
 
@@ -264,6 +278,26 @@ def main(argv: list[str] | None = None) -> int:
                             info["files_before"]
                             for info in res["compacted"].values()
                         ),
+                    }
+                )
+            )
+            return 0
+        if args.read_snapshot is not None:
+            from pdf_to_xls_vision_spark.streaming.ingest import (
+                read_stream_committed,
+            )
+
+            snap = read_stream_committed(
+                spark, args.output, as_of_batch=args.read_snapshot
+            )
+            print(
+                json.dumps(
+                    {
+                        "mode": "read-snapshot",
+                        "as_of_batch": args.read_snapshot,
+                        "docs": snap.select("doc_id").distinct().count(),
+                        "span_rows": snap.count(),
+                        "output": args.output,
                     }
                 )
             )

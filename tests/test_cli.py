@@ -57,6 +57,10 @@ def test_cli_arg_errors():
         ["in.parquet", "-o", "out", "--force-vision", "--buckets", "16"]
     )
     assert args.force_vision and args.buckets == 16 and args.output == "out"
+    from pdf_to_xls_vision_spark.cli import main
+
+    with pytest.raises(SystemExit, match="read-snapshot"):
+        main(["in.parquet", "-o", "out", "--read-snapshot", "3", "--no-resume"])
 
 
 @pytest.mark.slow
@@ -95,6 +99,20 @@ def test_cli_stream_mode(spark, tiny_corpus, tmp_path):
     assert rc == 0
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert summary["docs"] == 20
+
+    # time-travel read: as of the first run's batch only f1's docs are
+    # visible; a far-future batch bound sees everything
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([in_dir, "-o", out_dir, "--read-snapshot", "0"])
+    assert rc == 0
+    snap = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert snap["mode"] == "read-snapshot" and snap["docs"] == 12
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([in_dir, "-o", out_dir, "--read-snapshot", "99"])
+    assert rc == 0
+    assert json.loads(buf.getvalue().strip().splitlines()[-1])["docs"] == 20
 
 
 @pytest.mark.slow
