@@ -65,6 +65,8 @@ HEADLINE = [
     "join_range_error_context",
     "window_topk_per_segment",
     "index_postings",
+    "index_search_topk",
+    "dedup_ngram_spans",
     "text_quality_classifier",
     "profile_events_stats",
 ]
