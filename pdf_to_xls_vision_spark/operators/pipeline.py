@@ -18,6 +18,8 @@ the final shuffle already created, so M1 costs no extra exchange.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -39,14 +41,43 @@ from pdf_to_xls_vision_spark.operators.extract import (
 )
 from pdf_to_xls_vision_spark.core.vision import VisionBackend
 
+_SPANS_TYPE = (
+    "array<struct<kind string, text string, media_ref string, order int>>"
+)
 RESULT_SCHEMA = (
     "doc_id string, "
-    "spans array<struct<kind string, text string, media_ref string, order int>>, "
+    f"spans {_SPANS_TYPE}, "
     "n_tables int, pages_parsed long, rotation_corrections long, "
     "quality_retried int, rollup_rows long, n_notes long, "
     "validation_status string, pdf_numbers long, table_numbers long, "
     "matched_numbers long, accuracy_pct double, n_missing int, n_extra int"
 )
+#: what the merge UDF actually emits: the span sequence travels the
+#: Python->JVM Arrow boundary as ONE compact JSON string per document
+#: and is decoded JVM-side with from_json (same physics as the `grid`
+#: input column, operators/extract.EXTRACTION_SCHEMA: Arrow/pandas
+#: materialize one Python object per nested element, a string column
+#: is one buffer; measured ~3x on the input hop at 600k cells/2k docs)
+_RAW_RESULT_SCHEMA = RESULT_SCHEMA.replace(
+    f"spans {_SPANS_TYPE}", "spans_json string"
+)
+
+
+def _finish_result(raw: DataFrame) -> DataFrame:
+    """JVM-side restore of the public result schema from the raw merge
+    output: parse spans_json into the typed span array (Jackson parse
+    inside whole-stage codegen) and re-project the column order."""
+    scalars = [
+        "n_tables", "pages_parsed", "rotation_corrections",
+        "quality_retried", "rollup_rows", "n_notes",
+        "validation_status", "pdf_numbers", "table_numbers",
+        "matched_numbers", "accuracy_pct", "n_missing", "n_extra",
+    ]
+    return raw.select(
+        "doc_id",
+        F.from_json("spans_json", _SPANS_TYPE).alias("spans"),
+        *scalars,
+    )
 
 
 def _doc_validation(page_number_lists, grids) -> dict:
@@ -147,7 +178,9 @@ def _merge_doc_arrays(cols: dict, s: int, e: int) -> dict:
     )
     return {
         "doc_id": cols["doc_id"][s],
-        "spans": spans,
+        "spans_json": json.dumps(
+            spans, ensure_ascii=False, separators=(",", ":")
+        ),
         "n_tables": len(merged),
         "pages_parsed": pages_parsed,
         "rotation_corrections": rotation_corrections,
@@ -343,8 +376,10 @@ def run_extraction(
             cols = {c: pdf[c].to_numpy() for c in _MERGE_COLS}
             return pd.DataFrame([_merge_doc_arrays(cols, 0, len(pdf))])
 
-        return all_ext.groupBy("doc_id").applyInPandas(
-            _merge_group, RESULT_SCHEMA
+        return _finish_result(
+            all_ext.groupBy("doc_id").applyInPandas(
+                _merge_group, _RAW_RESULT_SCHEMA
+            )
         )
 
     grouped = (
@@ -352,4 +387,6 @@ def run_extraction(
         .repartition(n_parts, "doc_id")
         .sortWithinPartitions("doc_id")
     )
-    return grouped.mapInPandas(_merge_partition, RESULT_SCHEMA)
+    return _finish_result(
+        grouped.mapInPandas(_merge_partition, _RAW_RESULT_SCHEMA)
+    )
