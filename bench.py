@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "ann_topk_ivf_kmeans",
     "ann_topk_ivf_probe_aware",
+    "ann_topk_ivf_pq",
     "text_quality_score",
     "text_lang_id",
     "text_bpe_merge_tokens",
@@ -138,14 +139,29 @@ def _run_best(df, reps: int = 2, warmup: int = 1) -> tuple[float, float | None]:
     stall-amplification hot spot: dozens of tiny sequential driver
     jobs, each exposed to the host's 10-20s random stalls.
 
+    ``df`` may instead be a zero-arg callable returning ``(DataFrame,
+    persisted_sink_list)`` — used for plans that persist internally
+    (the extraction pipeline's doc-level merge cache): each rep gets a
+    fresh plan and its caches are dropped after the rep, so every
+    measured run executes the full pipeline.
+
     Returns (best wall sec, best executor-run-time sec or None)."""
+    def _once():
+        if callable(df):
+            d, sink = df()
+            wall = _run(d)
+            for c in sink:
+                c.unpersist(blocking=True)
+            return wall
+        return _run(df)
+
     for _ in range(warmup):
-        _run(df)
+        _once()
     walls: list[float] = []
     execs: list[float] = []
     for _ in range(reps):
         e0 = _executor_run_time_ms()
-        walls.append(_run(df))
+        walls.append(_once())
         e1 = _executor_run_time_ms()
         if e0 is not None and e1 is not None:
             execs.append((e1 - e0) / 1000.0)
@@ -200,7 +216,15 @@ def main() -> None:
 
     _log("extraction pipeline")
     spark.catalog.clearCache()
-    t_ext, e_ext = _run_best(run_extraction(corpus))
+    # fresh plan + internal-persist release per rep: the single_parse
+    # retry strategy caches its doc-level merge output inside the
+    # plan, so re-executing a built plan would measure cache reads —
+    # _run_best's thunk mode rebuilds and unpersists between reps
+    def _ext_thunk():
+        sink: list = []
+        return run_extraction(corpus, persisted_sink=sink), sink
+
+    t_ext, e_ext = _run_best(_ext_thunk)
     timings["extraction_pipeline"] = round(t_ext, 3)
     exec_secs["extraction_pipeline"] = (
         round(e_ext, 3) if e_ext is not None else None

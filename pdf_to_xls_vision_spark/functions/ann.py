@@ -158,24 +158,70 @@ KMEANS_K = 8
 KMEANS_ITERS = 4
 
 
+def _centroids_lit(centroids: list[list[int]]) -> Column:
+    """The k x d codebook as ONE 2-D array literal (broadcast by
+    construction — it ships inside the serialized plan)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
+            for cent in centroids
+        ]
+    )
+
+
+#: codebooks up to this many elements (k * d) stay plan literals; above
+#: it they attach as a one-row broadcast relation — a fresh giant
+#: literal forces a full codegen/JIT pass per unique plan (~25s at
+#: 256x16 measured), while the broadcast form keeps the generated code
+#: identical across Lloyd iterations (codegen cache hit) and the plan
+#: size O(1)
+_LIT_ELEMS_MAX = 2048
+
+_CENTS_COL = "__cents__"
+
+
+def _attach_codebook(
+    df: DataFrame, centroids: list[list[int]]
+) -> tuple[DataFrame, Column, bool]:
+    """(df', codebook expression, attached?) — literal for small k*d,
+    one-row broadcast join above _LIT_ELEMS_MAX. Values identical
+    either way; callers drop _CENTS_COL when attached."""
+    k, d = len(centroids), len(centroids[0])
+    if k * d <= _LIT_ELEMS_MAX:
+        return df, _centroids_lit(centroids), False
+    cents_df = df.sparkSession.createDataFrame(
+        [([[int(x) for x in c] for c in centroids],)],
+        f"{_CENTS_COL}: array<array<bigint>>",
+    )
+    return df.join(F.broadcast(cents_df)), F.col(_CENTS_COL), True
+
+
+def _cell_entries(qv: Column, cents: Column) -> Column:
+    """(dist, cell) structs for every codebook entry: ONE transform
+    over the 2-D codebook — lexicographic struct ordering makes
+    array_min/array_sort give (min dist, then min cell). A
+    per-centroid unrolled expression (k separate aggregate trees) is
+    value-identical but its analysis/codegen cost grows O(k)."""
+    return F.transform(
+        cents,
+        lambda c, i: F.named_struct(
+            F.lit("dist"),
+            F.aggregate(
+                F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+            F.lit("cell"),
+            i.cast("int"),
+        ),
+    )
+
+
 def _dist_to_centroids(qv: Column, centroids: list[list[int]]) -> Column:
-    """Nearest-centroid cell for a quantized vector, ties to the lowest
-    cell index: array_min over (distance, cell) structs — lexicographic
-    struct ordering gives (min dist, then min cell)."""
-    entries = []
-    for cell, cent in enumerate(centroids):
-        c = F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
-        d = F.aggregate(
-            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        entries.append(
-            F.named_struct(
-                F.lit("dist"), d, F.lit("cell"), F.lit(cell).cast("int")
-            )
-        )
-    return F.array_min(F.array(*entries))["cell"]
+    """Nearest-centroid cell for a quantized vector (ties to the lowest
+    cell), literal-codebook form — for small k*d expression contexts
+    (per-subspace PQ codebooks, in-cell 2-means)."""
+    return F.array_min(_cell_entries(qv, _centroids_lit(centroids)))["cell"]
 
 
 def _sqdist(qv: Column, cent: list[int]) -> Column:
@@ -210,6 +256,27 @@ def _maximin_init(vecs: DataFrame, k: int) -> list[list[int]]:
     return chosen
 
 
+def _first_distinct_init(vecs: DataFrame, k: int) -> list[list[int]]:
+    """Deterministic one-job init: the first ``k`` *distinct* vectors
+    in order of the smallest vid that carries each value. Maximin's
+    k-1 sequential top-1 jobs (each with a k-term least() expression)
+    are fine at k=8 but prohibitive at k=256+ — this is the large-k /
+    per-subspace-codebook alternative."""
+    rows = (
+        vecs.groupBy("qv")
+        .agg(F.min("vid").alias("mv"))
+        .orderBy("mv")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"need >= {k} distinct vectors for first-distinct init, "
+            f"got {len(rows)}"
+        )
+    return [list(r.qv) for r in rows]
+
+
 def _lloyd(
     vecs: DataFrame, centroids: list[list[int]], iterations: int
 ) -> list[list[int]]:
@@ -218,9 +285,12 @@ def _lloyd(
     centroid. Each iteration collects k*d longs (driver metadata)."""
     k = len(centroids)
     for _ in range(iterations):
-        cell = _dist_to_centroids(F.col("qv"), centroids).alias("cell")
+        src, cents, _ = _attach_codebook(vecs, centroids)
+        cell = F.array_min(_cell_entries(F.col("qv"), cents))["cell"].alias(
+            "cell"
+        )
         sums = (
-            vecs.select(cell, F.posexplode("qv").alias("pos", "val"))
+            src.select(cell, F.posexplode("qv").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
             .collect()
@@ -243,10 +313,14 @@ def kmeans_train(
     iterations: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "maximin",
 ) -> list[list[int]]:
     """Deterministic Lloyd's over integer-quantized vectors.
 
-    - init: farthest-point (maximin) from the min-id vector (no RNG);
+    - init: farthest-point (maximin) from the min-id vector (no RNG;
+      the oracled default), or ``"first_distinct"`` — first k distinct
+      vectors by min-vid, ONE job, for large k (256+ cells) where
+      maximin's k-1 sequential top-1 jobs dominate training wall;
     - assignment: exact int64 squared-L2, ties to the lowest cell;
     - update: per-dimension ``floor(sum / count)`` (exact — floor
       division of int sums), empty cells keep their centroid.
@@ -259,11 +333,18 @@ def kmeans_train(
     k*d longs to the driver — the same skeleton as Spark MLlib KMeans.
     The returned centroids are tiny driver metadata, NOT data rows.
     """
+    if init not in ("maximin", "first_distinct"):
+        raise ValueError(f"unknown init {init!r}")
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
     ).persist()
     try:
-        return _lloyd(vecs, _maximin_init(vecs, k), iterations)
+        seed = (
+            _maximin_init(vecs, k)
+            if init == "maximin"
+            else _first_distinct_init(vecs, k)
+        )
+        return _lloyd(vecs, seed, iterations)
     finally:
         vecs.unpersist()
 
@@ -352,10 +433,14 @@ def assign_cells(
     vec_col: str = "embedding",
     cell_col: str = "cell",
 ) -> DataFrame:
-    """Tag each row with its nearest trained centroid (map-only)."""
-    return embeddings.withColumn(
-        cell_col, _dist_to_centroids(_qvec(F.col(vec_col)), centroids)
+    """Tag each row with its nearest trained centroid (map-only for
+    small codebooks; one-row broadcast join above _LIT_ELEMS_MAX)."""
+    src, cents, attached = _attach_codebook(embeddings, centroids)
+    out = src.withColumn(
+        cell_col,
+        F.array_min(_cell_entries(_qvec(F.col(vec_col)), cents))["cell"],
     )
+    return out.drop(_CENTS_COL) if attached else out
 
 
 def assign_cells_multi(
@@ -370,21 +455,12 @@ def assign_cells_multi(
     base side keeps single assignment; only probes fan out). Map-only +
     a small explode; ties order (distance, cell)."""
     qv = _qvec(F.col(vec_col))
-    entries = []
-    for cell, cent in enumerate(centroids):
-        c = F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
-        d = F.aggregate(
-            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        entries.append(
-            F.named_struct(F.lit("dist"), d, F.lit("cell"), F.lit(cell).cast("int"))
-        )
-    top = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
-    return embeddings.withColumn(
+    src, cents, attached = _attach_codebook(embeddings, centroids)
+    top = F.slice(F.array_sort(_cell_entries(qv, cents)), 1, nprobe)
+    out = src.withColumn(
         cell_col, F.explode(F.transform(top, lambda s: s["cell"]))
     )
+    return out.drop(_CENTS_COL) if attached else out
 
 
 def topk_ivf_kmeans(
@@ -592,29 +668,29 @@ def _probe_cells_ranked(
     like assign_cells_multi), the probe's exact dot with the cell
     centroid (the bound's first term), and its squared norm."""
     qv = _qvec(F.col(vec_col))
-    entries = []
-    for cell, cent in enumerate(centroids):
-        c = F.array(*[F.lit(int(x)).cast("bigint") for x in cent])
-        d = F.aggregate(
-            F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        cd = F.aggregate(
-            F.zip_with(qv, c, lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
-        entries.append(
-            F.named_struct(
-                F.lit("dist"), d,
-                F.lit("cell"), F.lit(cell).cast("int"),
-                F.lit("cent_dot"), cd,
-            )
-        )
-    top = F.slice(F.array_sort(F.array(*entries)), 1, nprobe_max)
+    src, cents, _ = _attach_codebook(probes, centroids)
+    entries = F.transform(
+        cents,
+        lambda c, i: F.named_struct(
+            F.lit("dist"),
+            F.aggregate(
+                F.zip_with(qv, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+            F.lit("cell"),
+            i.cast("int"),
+            F.lit("cent_dot"),
+            F.aggregate(
+                F.zip_with(qv, c, lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        ),
+    )
+    top = F.slice(F.array_sort(entries), 1, nprobe_max)
     return (
-        probes.select(
+        src.select(
             F.col(id_col).alias("query_id"),
             qv.alias("q_vec"),
             F.posexplode(top).alias("pos", "s"),

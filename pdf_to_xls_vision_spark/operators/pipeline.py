@@ -191,7 +191,53 @@ def _merge_doc_arrays(cols: dict, s: int, e: int) -> dict:
     }
 
 
-def _merge_frame(b: pd.DataFrame) -> pd.DataFrame:
+#: dummy result row emitted for a document the merge kernel decides to
+#: send to the retry pass (single_parse strategy); every field but
+#: doc_id/needs_retry is discarded by the downstream filter
+_FLAG_ROW = {
+    "spans_json": "",
+    "n_tables": 0,
+    "pages_parsed": 0,
+    "rotation_corrections": 0,
+    "quality_retried": 0,
+    "rollup_rows": 0,
+    "n_notes": 0,
+    "validation_status": "",
+    "pdf_numbers": 0,
+    "table_numbers": 0,
+    "matched_numbers": 0,
+    "accuracy_pct": 0.0,
+    "n_missing": 0,
+    "n_extra": 0,
+    "needs_retry": 1,
+}
+
+#: extra columns the fold-retry merge kernel needs beyond _MERGE_COLS
+_FOLD_COLS = ["is_vision", "has_issue"]
+
+
+def _fold_merge_doc(cols: dict, s: int, e: int) -> dict:
+    """Single-parse retry fold: decide R2 (converter.py:117-132) from
+    the doc's own rows — any table-quality issue, or zero tables on a
+    text-routed doc — and short-circuit to a flag row instead of
+    merging; the retried doc's real result comes from the vision retry
+    pass."""
+    if not cols["is_vision"][s]:
+        has_table = False
+        for i in range(s, e):
+            if cols["has_issue"][i]:
+                return {**_FLAG_ROW, "doc_id": cols["doc_id"][s]}
+            has_table = has_table or cols["is_table"][i]
+        if not has_table:
+            return {**_FLAG_ROW, "doc_id": cols["doc_id"][s]}
+    d = _merge_doc_arrays(cols, s, e)
+    d["needs_retry"] = 0
+    return d
+
+
+def _merge_frame(
+    b: pd.DataFrame, kernel=_merge_doc_arrays, extra_cols: list | None = None
+) -> pd.DataFrame:
     """Merge every complete document group in one pandas frame whose
     rows are contiguous by doc_id."""
     import numpy as np
@@ -200,40 +246,47 @@ def _merge_frame(b: pd.DataFrame) -> pd.DataFrame:
     bounds = np.flatnonzero(ids[1:] != ids[:-1]) + 1
     starts = [0, *bounds.tolist()]
     ends = [*bounds.tolist(), len(ids)]
-    cols = {c: b[c].to_numpy() for c in _MERGE_COLS}
+    cols = {c: b[c].to_numpy() for c in _MERGE_COLS + (extra_cols or [])}
     return pd.DataFrame(
-        [_merge_doc_arrays(cols, s, e) for s, e in zip(starts, ends)]
+        [kernel(cols, s, e) for s, e in zip(starts, ends)]
     )
 
 
-def _merge_partition(batches) -> pd.DataFrame:
-    """Per-partition merge driver: rows arrive hash-partitioned by
-    doc_id and sorted within the partition, so each document is a
-    contiguous run — but Arrow batches don't respect group boundaries,
-    so the trailing (possibly incomplete) group of every batch is held
-    back and stitched onto the next batch; a 3000-row document simply
-    accumulates across batches until its run ends. This replaces a
-    groupBy().applyInPandas whose pandas-frame-per-group overhead
-    (~13ms/doc x one frame per document) dominated the merge stage's
-    executor time."""
-    pending: pd.DataFrame | None = None
-    for b in batches:
-        if pending is not None:
-            b = pd.concat([pending, b], ignore_index=True)
-            pending = None
-        if len(b) == 0:
-            continue
-        import numpy as np
+def _make_merge_partition(kernel=_merge_doc_arrays, extra_cols=None):
+    """Build the per-partition merge driver: rows arrive
+    hash-partitioned by doc_id and sorted within the partition, so
+    each document is a contiguous run — but Arrow batches don't
+    respect group boundaries, so the trailing (possibly incomplete)
+    group of every batch is held back and stitched onto the next
+    batch; a 3000-row document simply accumulates across batches until
+    its run ends. This replaces a groupBy().applyInPandas whose
+    pandas-frame-per-group overhead (~13ms/doc x one frame per
+    document) dominated the merge stage's executor time."""
 
-        ids = b["doc_id"].to_numpy()
-        nz = np.flatnonzero(ids != ids[-1])
-        start_last = int(nz[-1]) + 1 if len(nz) else 0
-        pending = b.iloc[start_last:]
-        body = b.iloc[:start_last]
-        if len(body):
-            yield _merge_frame(body)
-    if pending is not None and len(pending):
-        yield _merge_frame(pending)
+    def _merge_partition(batches) -> pd.DataFrame:
+        pending: pd.DataFrame | None = None
+        for b in batches:
+            if pending is not None:
+                b = pd.concat([pending, b], ignore_index=True)
+                pending = None
+            if len(b) == 0:
+                continue
+            import numpy as np
+
+            ids = b["doc_id"].to_numpy()
+            nz = np.flatnonzero(ids != ids[-1])
+            start_last = int(nz[-1]) + 1 if len(nz) else 0
+            pending = b.iloc[start_last:]
+            body = b.iloc[:start_last]
+            if len(body):
+                yield _merge_frame(body, kernel, extra_cols)
+        if pending is not None and len(pending):
+            yield _merge_frame(pending, kernel, extra_cols)
+
+    return _merge_partition
+
+
+_merge_partition = _make_merge_partition()
 
 
 def explode_pages(docs: DataFrame, force_vision: bool = False) -> DataFrame:
@@ -264,6 +317,7 @@ def run_extraction(
     persist_pages: bool = False,
     persisted_sink: list | None = None,
     merge_strategy: str = "apply_in_pandas",
+    retry_strategy: str = "single_parse",
 ) -> DataFrame:
     """The full extraction pipeline; returns the result relation
     ``(doc_id, spans, …metrics)``.
@@ -304,11 +358,32 @@ def run_extraction(
     result is materialized — disk-backed cached blocks are not
     LRU-evicted, so leaking one per micro-batch grows local disk
     without bound.
+
+    ``retry_strategy``: how the R2 doc-level retry decision
+    (converter.py:117-132) is wired into the DAG.
+
+    - ``"single_parse"`` (default): the retry decision is folded into
+      the merge kernel itself (the doc's rows are already co-located
+      there), so parse, vision, and merge each execute exactly once;
+      the small doc-level merge output is persisted (MEMORY_AND_DISK)
+      and fans out to the kept-results filter and the retry-id
+      filter. Repeated callers (checkpoint loop, streaming) must pass
+      ``persisted_sink`` and unpersist after materializing.
+    - ``"reaggregate"`` (legacy): broadcast-anti/semi joins against a
+      separately aggregated retry-id relation; the anti-join's build
+      side re-executes the text parse (one extra full parse pass,
+      ~30 core-s per 8k docs) unless ``persist_pages`` caches it —
+      but never caches doc-level results.
     """
     if merge_strategy not in ("apply_in_pandas", "map_batches"):
         raise ValueError(
             f"merge_strategy must be 'apply_in_pandas' or 'map_batches', "
             f"got {merge_strategy!r}"
+        )
+    if retry_strategy not in ("single_parse", "reaggregate"):
+        raise ValueError(
+            f"retry_strategy must be 'single_parse' or 'reaggregate', "
+            f"got {retry_strategy!r}"
         )
     spark = docs.sparkSession
     n_parts = page_partitions or spark.sparkContext.defaultParallelism * 2
@@ -336,9 +411,106 @@ def run_extraction(
         if persisted_sink is not None:
             persisted_sink.append(text_ext)
 
+    # Per-doc reduce. Two equivalent strategies, A/B-measured equal on
+    # this corpus (interleaved runs, quiet-host minimum ~12s wall for
+    # 8000 docs either way — Spark 4's applyInPandas already streams
+    # multiple groups per Arrow batch, so per-group overhead is small):
+    # - apply_in_pandas (default): groupBy().applyInPandas with the
+    #   array-based per-group kernel.
+    # - map_batches: explicit hash repartition + in-partition sort +
+    #   mapInPandas with cross-batch group stitching. Same shuffle;
+    #   useful where group counts per partition are extreme.
+    def _apply_merge(
+        ext: DataFrame,
+        pre_partitioned: bool = False,
+        fold_retry: bool = False,
+    ) -> DataFrame:
+        kernel = _fold_merge_doc if fold_retry else _merge_doc_arrays
+        extra = _FOLD_COLS if fold_retry else []
+        schema = (
+            _RAW_RESULT_SCHEMA + ", needs_retry int"
+            if fold_retry
+            else _RAW_RESULT_SCHEMA
+        )
+        if merge_strategy == "apply_in_pandas":
+            def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+                cols = {c: pdf[c].to_numpy() for c in _MERGE_COLS + extra}
+                return pd.DataFrame([kernel(cols, 0, len(pdf))])
+
+            return ext.groupBy("doc_id").applyInPandas(_merge_group, schema)
+        grouped = ext.select(*_MERGE_COLS, *extra)
+        if not pre_partitioned:
+            grouped = grouped.repartition(n_parts, "doc_id")
+        return grouped.sortWithinPartitions("doc_id").mapInPandas(
+            _make_merge_partition(kernel, extra), schema
+        )
+
     # R2 — document-level retry: any quality issue on any table, or zero
     # tables for the whole document (converter.py:117-132). Sentinel rows
     # guarantee every text-routed doc appears in the aggregate.
+    if retry_strategy == "single_parse":
+        base_cols = [c for c in _MERGE_COLS if c != "quality_retried"]
+
+        def _fold_cols(ext: DataFrame, is_vision: bool) -> DataFrame:
+            # `quality` collapses to one boolean before the shuffle —
+            # the merge kernel's retry decision needs only "any issue
+            # on this table", so the exchange carries 1 bit instead of
+            # an array<string> per table row.
+            return ext.select(
+                *base_cols,
+                F.lit(0).alias("quality_retried"),
+                (F.col("is_table") & (F.size("quality") > 0)).alias(
+                    "has_issue"
+                ),
+                F.lit(is_vision).alias("is_vision"),
+            )
+
+        vision_ext = vision_pages.mapInPandas(
+            vision_extractor, EXTRACTION_SCHEMA
+        )
+        # Linear plan: parse + vision shuffle ONCE (the merge group's
+        # own doc_id exchange) into the fold-merge, whose kernel also
+        # makes the per-doc retry decision (flag row instead of a
+        # result). The doc-level output — ~1 row/doc of spans_json,
+        # output-scale not page-scale — is persisted and fans out to
+        # the kept-results filter and the retry-id filter.
+        #
+        # The persist is NOT optional sugar: every materialization-
+        # free formulation of "one computed relation, two consumers"
+        # was measured to re-execute the expensive subtree, because
+        # Spark's exchange reuse requires canonically IDENTICAL
+        # exchange subtrees and the optimizer makes the consumers
+        # differ: an anti-join gets pushed below the page exchange by
+        # PushDownLeftSemiAntiJoin; a flag filter over a doc-level
+        # repartition gets pushed below it by PushDownPredicates; and
+        # a JVM retry-aggregate reading the same page exchange gets
+        # COLUMN-PRUNED to 4 columns, so its exchange no longer
+        # matches the merge's full-width one (all three observed in
+        # executed plans with stage-attributed UDF row counts, see
+        # NOTES_ROUND4). Caching the small doc-level relation is the
+        # one formulation that runs parse, vision, and merge exactly
+        # once. In the checkpointed sink / streaming loops the cache
+        # is bucket-scoped and released via ``persisted_sink``.
+        merged = _apply_merge(
+            _fold_cols(text_ext, False).unionByName(
+                _fold_cols(vision_ext, True)
+            ),
+            fold_retry=True,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_sink is not None:
+            persisted_sink.append(merged)
+        kept = merged.filter(F.col("needs_retry") == 0).drop("needs_retry")
+        retry_ids = merged.filter(F.col("needs_retry") == 1).select("doc_id")
+        retry_ext = (
+            text_pages.join(retry_ids, "doc_id", "left_semi")
+            .mapInPandas(vision_extractor, EXTRACTION_SCHEMA)
+            .withColumn("quality_retried", F.lit(1))
+            .select(*_MERGE_COLS)
+        )
+        return _finish_result(
+            kept.unionByName(_apply_merge(retry_ext, pre_partitioned=False))
+        )
+
     doc_stats = text_ext.groupBy("doc_id").agg(
         F.max(
             F.when(F.col("is_table") & (F.size("quality") > 0), 1).otherwise(0)
@@ -361,32 +533,4 @@ def run_extraction(
     ).withColumn("quality_retried", F.lit(0))
 
     all_ext = text_kept.unionByName(vision_ext).unionByName(retry_ext)
-
-    # Per-doc reduce. Two equivalent strategies, A/B-measured equal on
-    # this corpus (interleaved runs, quiet-host minimum ~12s wall for
-    # 8000 docs either way — Spark 4's applyInPandas already streams
-    # multiple groups per Arrow batch, so per-group overhead is small):
-    # - apply_in_pandas (default): groupBy().applyInPandas with the
-    #   array-based per-group kernel.
-    # - map_batches: explicit hash repartition + in-partition sort +
-    #   mapInPandas with cross-batch group stitching. Same shuffle;
-    #   useful where group counts per partition are extreme.
-    if merge_strategy == "apply_in_pandas":
-        def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            cols = {c: pdf[c].to_numpy() for c in _MERGE_COLS}
-            return pd.DataFrame([_merge_doc_arrays(cols, 0, len(pdf))])
-
-        return _finish_result(
-            all_ext.groupBy("doc_id").applyInPandas(
-                _merge_group, _RAW_RESULT_SCHEMA
-            )
-        )
-
-    grouped = (
-        all_ext.select(*_MERGE_COLS)
-        .repartition(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-    )
-    return _finish_result(
-        grouped.mapInPandas(_merge_partition, _RAW_RESULT_SCHEMA)
-    )
+    return _finish_result(_apply_merge(all_ext, pre_partitioned=False))

@@ -1354,6 +1354,160 @@ FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
 """
 
 
+def _pq_cte(m: int, k_codes: int, iterations: int, dim: int) -> str:
+    """Unrolled per-subspace PQ training + encoding as DuckDB CTEs —
+    replays :func:`functions.pq.pq_train` / ``pq_encode`` bit-for-bit
+    (first-k-distinct init ordered by min vid, exact int64 Lloyd with
+    floor(sum/count) updates, argmin encode with ties to the lowest
+    code). Assumes a ``vecs (vid, qv)`` CTE is already defined. Ends
+    with ``pq{{s}}_code (vid, code)`` per subspace and the final
+    codebooks ``pq{{s}}_cent{iterations}``."""
+    dist = (
+        "list_sum([(v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]) "
+        "FOR i IN range(1, len(v.qv) + 1)])"
+    )
+    ds = dim // m
+    parts = []
+    for s in range(m):
+        a, b = s * ds + 1, (s + 1) * ds
+        parts.append(
+            f"""sub{s} AS MATERIALIZED (
+  SELECT vid, qv[{a}:{b}] AS qv FROM vecs
+),
+pq{s}_cent0 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY mv))::INT - 1 AS cell, cent
+  FROM (SELECT qv AS cent, min(vid) AS mv FROM sub{s}
+        GROUP BY qv ORDER BY mv LIMIT {k_codes})
+)"""
+        )
+        for r in range(iterations):
+            parts.append(
+                f"""pq{s}_asg{r} AS MATERIALIZED (
+  SELECT vid, qv, cell FROM (
+    SELECT v.vid, v.qv, c.cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {dist}, c.cell) AS rn
+    FROM sub{s} v CROSS JOIN pq{s}_cent{r} c
+  ) WHERE rn = 1
+),
+pq{s}_sums{r} AS MATERIALIZED (
+  SELECT cell, pos, floor(sum(val)::DOUBLE / count(*))::BIGINT AS cm
+  FROM (SELECT cell, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos
+        FROM pq{s}_asg{r})
+  GROUP BY cell, pos
+),
+pq{s}_cent{r + 1} AS MATERIALIZED (
+  SELECT cell, list(cm ORDER BY pos) AS cent FROM pq{s}_sums{r} GROUP BY cell
+  UNION ALL
+  SELECT c.cell, c.cent FROM pq{s}_cent{r} c
+  WHERE c.cell NOT IN (SELECT DISTINCT cell FROM pq{s}_sums{r})
+)"""
+            )
+        parts.append(
+            f"""pq{s}_code AS MATERIALIZED (
+  SELECT vid, cell AS code FROM (
+    SELECT v.vid, c.cell,
+           row_number() OVER (PARTITION BY v.vid ORDER BY {dist}, c.cell) AS rn
+    FROM sub{s} v CROSS JOIN pq{s}_cent{iterations} c
+  ) WHERE rn = 1
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization codes for every embedding (trained per-
+    subspace codebooks + map-only encode) — the 256 B -> 4 B
+    compressed representation; directly oracle-checks PQ training."""
+    from pdf_to_xls_vision_spark.functions.pq import (
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb, m=PQ_M, k_codes=PQ_CODES, iterations=PQ_ITERS, dim=EMB_DIM
+    )
+    return pq_encode(emb, books, dim=EMB_DIM)
+
+
+def _sql_pq_codes() -> str:
+    from pdf_to_xls_vision_spark.functions.pq import PQ_CODES, PQ_ITERS, PQ_M
+
+    joins = "\n".join(
+        f"JOIN pq{s}_code c{s} ON v.vid = c{s}.vid" for s in range(PQ_M)
+    )
+    cols = ", ".join(f"c{s}.code::INT AS code_{s}" for s in range(PQ_M))
+    return f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id AS vid,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS qv
+  FROM embeddings
+),
+{_pq_cte(PQ_M, PQ_CODES, PQ_ITERS, EMB_DIM)}
+SELECT v.vid AS vec_id, {cols}
+FROM vecs v
+{joins}
+"""
+
+
+def q_ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ top-k: trained coarse cells prune candidates, asymmetric
+    distance over PQ codes scores them — the FAISS IVFPQ shape with
+    every step integer-exact (functions/pq.py)."""
+    from pdf_to_xls_vision_spark.functions.pq import topk_ivf_pq
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return topk_ivf_pq(emb, probes, k=TOP_K)
+
+
+def _sql_ann_ivf_pq() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+    from pdf_to_xls_vision_spark.functions.pq import PQ_CODES, PQ_ITERS, PQ_M
+
+    code_joins = "\n".join(
+        f"JOIN pq{s}_code c{s} ON a.vid = c{s}.vid" for s in range(PQ_M)
+    )
+    recon_joins = "\n".join(
+        f"JOIN pq{s}_cent{PQ_ITERS} e{s} ON b.code_{s} = e{s}.cell"
+        for s in range(PQ_M)
+    )
+    code_cols = ", ".join(f"c{s}.code AS code_{s}" for s in range(PQ_M))
+    concat = " || ".join(f"e{s}.cent" for s in range(PQ_M))
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+{_pq_cte(PQ_M, PQ_CODES, PQ_ITERS, EMB_DIM)},
+base AS (
+  SELECT a.cell, a.vid AS nbr_id, {code_cols}
+  FROM asg_final a
+{code_joins}
+),
+recon AS (
+  SELECT b.cell, b.nbr_id, {concat} AS rv
+  FROM base b
+{recon_joins}
+),
+scored AS (
+  SELECT q.vid AS query_id, r.nbr_id,
+         list_sum([(q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i])
+                   FOR i IN range(1, len(q.qv) + 1)])::BIGINT AS adist
+  FROM asg_final q JOIN recon r USING (cell)
+  WHERE q.vid < {N_PROBES} AND q.vid <> r.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, nbr_id, adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs within IVF cells (dedup family)."""
     return embedding_near_dups(
@@ -3582,6 +3736,8 @@ QUERIES = {
     "ann_kmeans_cells_balanced": q_kmeans_cells_balanced,
     "ann_topk_ivf_balanced": q_ann_ivf_balanced,
     "ann_topk_ivf_probe_aware": q_ann_ivf_probe_aware,
+    "ann_pq_codes": q_pq_codes,
+    "ann_topk_ivf_pq": q_ann_ivf_pq,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "dedup_embedding_cosine_kmeans": q_embedding_near_dups_kmeans,
     "dedup_embedding_cosine_lsh": q_embedding_lsh,
@@ -3678,6 +3834,8 @@ ORACLES = {
     "ann_kmeans_cells_balanced": _sql_kmeans_cells_balanced(),
     "ann_topk_ivf_balanced": _sql_ann_ivf_balanced(),
     "ann_topk_ivf_probe_aware": _sql_ann_ivf_probe_aware(),
+    "ann_pq_codes": _sql_pq_codes(),
+    "ann_topk_ivf_pq": _sql_ann_ivf_pq(),
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "dedup_embedding_cosine_kmeans": _sql_embedding_near_dups_kmeans(),
     "dedup_embedding_cosine_lsh": _sql_embedding_lsh(),

@@ -3,7 +3,7 @@
 warm-up then min of N reps) — the quick half of an interleaved A/B:
 run on one code state, `git stash`, run on the other, repeat.
 
-Usage: python scripts/ab_full_pipeline.py [docs] [reps]
+Usage: python scripts/ab_full_pipeline.py [docs] [reps] [retry_strategy]
 """
 
 from __future__ import annotations
@@ -38,6 +38,7 @@ def main() -> None:
 
     docs_n = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    strategy = sys.argv[3] if len(sys.argv) > 3 else "single_parse"
     corpus_path = f"/tmp/ptxv_bench_corpus_{docs_n}.parquet"
     if not os.path.exists(corpus_path):
         write_corpus_parquet(corpus_path, docs_n)
@@ -56,16 +57,28 @@ def main() -> None:
     corpus = spark.read.parquet(corpus_path)
 
     def one():
-        df = run_extraction(corpus)
+        # fresh plan + sink per rep, and unpersist after the write:
+        # the single_parse strategy persists its doc-level merge
+        # output INSIDE the plan, so re-executing a built plan (or
+        # leaving the cache warm) would measure cache reads, not the
+        # pipeline
+        sink: list = []
+        df = run_extraction(
+            corpus, retry_strategy=strategy, persisted_sink=sink
+        )
         e0 = exec_ms(spark)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0, (exec_ms(spark) - e0) / 1000.0
+        out = time.perf_counter() - t0, (exec_ms(spark) - e0) / 1000.0
+        for c in sink:
+            c.unpersist(blocking=True)
+        return out
 
     one()  # warm-up
     walls, execs = zip(*[one() for _ in range(reps)])
     print(json.dumps({
         "docs": docs_n,
+        "retry_strategy": strategy,
         "wall_min": round(min(walls), 2),
         "exec_min": round(min(execs), 1),
         "walls": [round(w, 2) for w in walls],
