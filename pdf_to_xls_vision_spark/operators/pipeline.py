@@ -63,10 +63,20 @@ _RAW_RESULT_SCHEMA = RESULT_SCHEMA.replace(
 )
 
 
-def _finish_result(raw: DataFrame) -> DataFrame:
+def _finish_result(raw: DataFrame, keep: list | None = None) -> DataFrame:
     """JVM-side restore of the public result schema from the raw merge
     output: parse spans_json into the typed span array (Jackson parse
-    inside whole-stage codegen) and re-project the column order."""
+    inside whole-stage codegen) and re-project the column order.
+
+    Placement matters at scale: from_json allocates heavily (Jackson
+    tokens -> UnsafeArrayData per span), and a stage of pure-JVM tasks
+    all parsing concurrently allocation-storms the heap — measured at
+    32k docs as ~2,200 core-s with ~1,000 GC-s when the parse ran in a
+    dense cache-scan stage, vs ~650 core-s fused into the
+    Python-throttled merge stage (the merge UDF's Arrow batching caps
+    how fast parse input arrives, so allocation stays inside the young
+    gen). Callers should keep this select in the same stage as the
+    merge UDF, never in a cache-scan/union-only stage."""
     scalars = [
         "n_tables", "pages_parsed", "rotation_corrections",
         "quality_retried", "rollup_rows", "n_notes",
@@ -77,6 +87,7 @@ def _finish_result(raw: DataFrame) -> DataFrame:
         "doc_id",
         F.from_json("spans_json", _SPANS_TYPE).alias("spans"),
         *scalars,
+        *(keep or []),
     )
 
 
@@ -317,7 +328,7 @@ def run_extraction(
     persist_pages: bool = False,
     persisted_sink: list | None = None,
     merge_strategy: str = "apply_in_pandas",
-    retry_strategy: str = "single_parse",
+    retry_strategy: str = "reaggregate",
 ) -> DataFrame:
     """The full extraction pipeline; returns the result relation
     ``(doc_id, spans, …metrics)``.
@@ -362,18 +373,32 @@ def run_extraction(
     ``retry_strategy``: how the R2 doc-level retry decision
     (converter.py:117-132) is wired into the DAG.
 
-    - ``"single_parse"`` (default): the retry decision is folded into
-      the merge kernel itself (the doc's rows are already co-located
-      there), so parse, vision, and merge each execute exactly once;
-      the small doc-level merge output is persisted (MEMORY_AND_DISK)
-      and fans out to the kept-results filter and the retry-id
-      filter. Repeated callers (checkpoint loop, streaming) must pass
-      ``persisted_sink`` and unpersist after materializing.
-    - ``"reaggregate"`` (legacy): broadcast-anti/semi joins against a
+    - ``"reaggregate"`` (default): broadcast-anti/semi joins against a
       separately aggregated retry-id relation; the anti-join's build
-      side re-executes the text parse (one extra full parse pass,
-      ~30 core-s per 8k docs) unless ``persist_pages`` caches it —
-      but never caches doc-level results.
+      side re-executes the text parse (one extra full parse pass —
+      accumulator-verified 2x parse-input pages) unless
+      ``persist_pages`` caches it, but NOTHING is materialized.
+    - ``"single_parse"``: the retry decision is folded into the merge
+      kernel itself (the doc's rows are already co-located there), so
+      parse, vision, and merge each execute exactly once; the
+      doc-level merge output is persisted (MEMORY_AND_DISK) and fans
+      out to the kept-results filter and the retry-id filter.
+      Repeated callers (checkpoint loop, streaming) must pass
+      ``persisted_sink`` and unpersist after materializing.
+
+    Why recompute is the default (quiet-window measurements,
+    local[32]): at 8k docs single_parse wins narrowly (311 vs 355
+    exec core-s); at 32k docs it LOSES ~2x (1,957 vs 1,080) with
+    high variance (1,726-3,676 across runs, 500-1,000 GC-s) — the
+    cache fill + two cache scans of the span-payload result cost more
+    than the one parse pass they save, and the typed-span columnar
+    build allocation-storms the heap regardless of placement. Plain
+    reaggregate streams every stage with ~15 GC-s total and scales
+    linearly 8k->32k. Same lesson as ``persist_pages``: for
+    page/span-sized payloads, recompute from the scan beats any
+    materialization. Prefer single_parse only for small bounded
+    batches (hundreds of docs) where the cache is trivially small and
+    the saved parse pass is the larger term.
     """
     if merge_strategy not in ("apply_in_pandas", "map_batches"):
         raise ValueError(
@@ -491,11 +516,23 @@ def run_extraction(
         # one formulation that runs parse, vision, and merge exactly
         # once. In the checkpointed sink / streaming loops the cache
         # is bucket-scoped and released via ``persisted_sink``.
-        merged = _apply_merge(
-            _fold_cols(text_ext, False).unionByName(
-                _fold_cols(vision_ext, True)
+        #
+        # The cached relation is the FINISHED result (typed spans, via
+        # _finish_result BEFORE the persist), not the raw spans_json:
+        # the from_json parse then runs inside the merge stage, where
+        # the Python UDF's Arrow batching throttles its allocation
+        # rate (see _finish_result's placement note — parsing in the
+        # downstream cache-scan stage measured ~3x the executor time
+        # at 32k docs from GC alone). Flag rows carry spans_json="",
+        # which parses to null and is discarded by the kept filter.
+        merged = _finish_result(
+            _apply_merge(
+                _fold_cols(text_ext, False).unionByName(
+                    _fold_cols(vision_ext, True)
+                ),
+                fold_retry=True,
             ),
-            fold_retry=True,
+            keep=["needs_retry"],
         ).persist(StorageLevel.MEMORY_AND_DISK)
         if persisted_sink is not None:
             persisted_sink.append(merged)
@@ -507,8 +544,8 @@ def run_extraction(
             .withColumn("quality_retried", F.lit(1))
             .select(*_MERGE_COLS)
         )
-        return _finish_result(
-            kept.unionByName(_apply_merge(retry_ext, pre_partitioned=False))
+        return kept.unionByName(
+            _finish_result(_apply_merge(retry_ext, pre_partitioned=False))
         )
 
     doc_stats = text_ext.groupBy("doc_id").agg(

@@ -80,16 +80,31 @@ LATEST series (current code state).
    window**: best-of-5 150.0 / 493.9 / 994.3 docs/sec -> **0.823**;
    raw repeats local[2] 268.7/232.9/217.3/213.4/303.6, local[8]
    90.4/118.9/64.8/71.7/80.5, local[32] 35.2/33.5/32.2/36.2/40.4 s.
-5. **32k docs, single-parse retry default** (the headline above):
-   the retry decision folded into the merge kernel halves text-parse
-   work (accumulator-verified: 10,214 parse-input pages vs 20,428
-   under reaggregate on the same 2k-doc corpus, identical output).
+5. **32k docs, single-parse retry experiment — run, measured,
+   REVERTED.** The fold-the-retry-decision-into-the-merge variant
+   halves text-parse work (accumulator-verified: 10,214 parse-input
+   pages vs 20,428 under reaggregate, identical output) and won
+   narrowly at 8k docs (311 vs 355 exec core-s). But its 4-repeat
+   scaling series ran 0.797 nominal inside a storm (raw seconds
+   {"local[2]": [295.969, 400.912, 271.892, 296.343], "local[8]":
+   [93.621, 163.843, 208.358, 85.293], "local[32]": [134.288,
+   159.145, 134.596, 150.305]}), and quiet-window
+   probe-gated pairs at 32k showed the real cause was the code, not
+   the host: 1,957 vs 1,080 exec core-s (wall 87.7 vs 38.3 s), with
+   1,726-3,676 spread and 500-1,000 GC-s across repeats — the
+   doc-level result cache (fill + two scans of span-sized payloads)
+   costs more than the parse pass it saves, superlinearly. Default
+   reverted to reaggregate (= the series-4 execution path, so the
+   series-4 headline stands for current code); single_parse remains
+   an option for small bounded batches.
 
 Reading: the efficiency target holds at every corpus size whose
 series got at least one quiet window per level; each kernel/boundary
 speedup shrinks wall and raises the fixed-cost share (the documented
 16k->32k effect), and the target still holds with the final, fastest
-code.
+code. Series 5 is the counter-example that validates the recompute-
+over-materialize defaults: the one variant that cached results is the
+one variant that failed the efficiency bar.
 
 ## Co-located join via bucketing (round 4, session 3)
 
