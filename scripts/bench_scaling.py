@@ -106,6 +106,27 @@ code. Series 5 is the counter-example that validates the recompute-
 over-materialize defaults: the one variant that cached results is the
 one variant that failed the efficiency bar.
 
+## Probe-aware IVF at 256 cells (round 4, session 7)
+
+`scripts/demo_probe_aware_256.py` (25,600 blob vectors, 256 trained
+cells, 64 probes, nprobe_max=8, quiet window):
+
+    {"wall_fixed_min": 2.6, "wall_aware_min": 9.47,
+     "avg_cells_scanned": 3.09, "cells_budget": 8,
+     "identical_results": true}
+
+The bound pruning is lossless (bit-identical to the fixed fan-out)
+and scans 3.09 of 8 budget cells on average — a 2.6x cut in scan
+volume. Wall clock still favors the fixed fan-out at this scale:
+with ~100 vectors per cell, the saved scans are ~500 dot products
+per probe while the two-phase plan adds a frontier job. The
+crossover needs cell populations where scan dominates planning
+(at the 10^12-vector design point a cell holds ~10^9 vectors and
+scan cost IS the query cost); the sandbox cannot train a corpus
+that size, so the scanned-cells metric — not wall — is the
+scale-relevant evidence, and it is reported unspun alongside the
+unfavorable small-scale wall.
+
 ## Co-located join via bucketing (round 4, session 3)
 
 `scripts/demo_bucketed_join.py` (sf0.01, broadcast disabled to force
