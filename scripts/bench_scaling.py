@@ -55,7 +55,7 @@ LEVELS = (N_LOW, N_HIGH, N_MAX)
 RETAINED_SECTIONS = """
 ## Measurement lineage (round 4, all series kept)
 
-Five series were run this round, in order; every raw repeat is
+Six series were run this round, in order; every raw repeat is
 recorded (this section or the git history of this file), nothing is
 silently replaced. The headline table above always reflects the
 LATEST series (current code state).
@@ -97,6 +97,12 @@ LATEST series (current code state).
    reverted to reaggregate (= the series-4 execution path, so the
    series-4 headline stands for current code); single_parse remains
    an option for small bounded batches.
+
+6. **32k docs, final code after the revert**: best-of-2 per level in
+   a probe-verified quiet window (repeats within 1-2%): 182.2 /
+   646.2 / 1,371.6 docs/sec -> **0.887**. Raw seconds local[2]
+   177.298/175.635, local[8] 49.523/50.566, local[32]
+   23.798/23.331.
 
 Reading: the efficiency target holds at every corpus size whose
 series got at least one quiet window per level; each kernel/boundary
