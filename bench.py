@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_topk_ivf_kmeans",
     "ann_topk_ivf_probe_aware",
     "ann_topk_ivf_pq",
+    "ann_topk_ivf_pq_residual",
     "text_quality_score",
     "text_lang_id",
     "text_bpe_merge_tokens",

@@ -39,6 +39,10 @@ from pyspark.sql import functions as F
 from pdf_to_xls_vision_spark.functions.ann import (
     KMEANS_ITERS,
     KMEANS_K,
+    _attach_codebook,
+    _cell_entries,
+    _CENTS_COL,
+    _centroids_lit,
     _dist_to_centroids,
     _first_distinct_init,
     _lloyd,
@@ -93,18 +97,25 @@ def pq_train(
         vecs.unpersist()
 
 
-def pq_code_exprs(
-    vec_col: Column, codebooks: list[list[list[int]]], dim: int
+def _codes_from_qv(
+    qv: Column, codebooks: list[list[list[int]]], dim: int
 ) -> list[Column]:
-    """Per-subspace nearest-code index (map-only argmin vs broadcast
-    codebook literals, ties to the lowest code)."""
-    qv = _qvec(vec_col)
+    """Per-subspace nearest-code index over an already-quantized
+    bigint-array column (map-only argmin vs broadcast codebook
+    literals, ties to the lowest code)."""
     return [
         _dist_to_centroids(F.slice(qv, start, length), codebooks[s])
         for s, (start, length) in enumerate(
             pq_subspace_bounds(dim, len(codebooks))
         )
     ]
+
+
+def pq_code_exprs(
+    vec_col: Column, codebooks: list[list[list[int]]], dim: int
+) -> list[Column]:
+    """Per-subspace nearest-code index for a raw float-vector column."""
+    return _codes_from_qv(_qvec(vec_col), codebooks, dim)
 
 
 def pq_encode(
@@ -220,6 +231,178 @@ def topk_ivf_pq(
         scored = scored.groupBy("query_id", "nbr_id").agg(
             F.min("adist").alias("adist")
         )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nbr_id", "adist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual encoding — the full FAISS IVFPQ form (Jégou et al. §IV.B):
+# PQ codebooks are trained on (vector - coarse_centroid[cell]) instead
+# of the raw vector. Residuals of a trained coarse quantizer are
+# centered near zero with much smaller spread than the vectors
+# themselves, so the same m x k_codes budget quantizes them with lower
+# reconstruction error — recall improves at an identical code size.
+# Everything stays integer-exact (quantized vectors and centroids are
+# int64, the residual is their difference), so the DuckDB oracle
+# replays training, encoding, and ADC search bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def residual_rows(
+    embeddings: DataFrame,
+    coarse_centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, cell, qv) rows where ``qv = quantized(vec) -
+    coarse_centroid[cell]`` — exact int64, map-only (the codebook is a
+    plan literal for small k*d, a one-row broadcast join above
+    :data:`ann._LIT_ELEMS_MAX`)."""
+    src, cents, attached = _attach_codebook(embeddings, coarse_centroids)
+    qv = _qvec(F.col(vec_col))
+    cols = [
+        F.col(id_col).alias("vid"),
+        qv.alias("full_qv"),
+        F.array_min(_cell_entries(qv, cents))["cell"].alias("cell"),
+    ]
+    if attached:
+        cols.append(F.col(_CENTS_COL))
+    tmp = src.select(*cols)
+    cents2 = F.col(_CENTS_COL) if attached else _centroids_lit(coarse_centroids)
+    res = F.zip_with(
+        F.col("full_qv"),
+        F.element_at(cents2, F.col("cell") + 1),
+        lambda x, y: x - y,
+    )
+    return tmp.select("vid", "cell", res.alias("qv"))
+
+
+def pq_train_residual(
+    embeddings: DataFrame,
+    coarse_centroids: list[list[int]],
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    iterations: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[int]]]:
+    """Train ``m`` per-subspace codebooks on coarse-quantizer
+    RESIDUALS (same deterministic first-k-distinct init + exact-int64
+    Lloyd as :func:`pq_train`, different training distribution)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    vecs = residual_rows(
+        embeddings, coarse_centroids, id_col=id_col, vec_col=vec_col
+    ).persist()
+    try:
+        books = []
+        for start, length in pq_subspace_bounds(dim, m):
+            sub = vecs.select("vid", F.slice("qv", start, length).alias("qv"))
+            books.append(
+                _lloyd(sub, _first_distinct_init(sub, k_codes), iterations)
+            )
+        return books
+    finally:
+        vecs.unpersist()
+
+
+def pq_encode_residual(
+    embeddings: DataFrame,
+    coarse_centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, code_0..code_{m-1}) — the IVFPQ posting-list entry:
+    the coarse cell is part of the representation (reconstruction =
+    coarse centroid + residual codebook entries), so it is returned
+    alongside the codes."""
+    res = residual_rows(
+        embeddings, coarse_centroids, id_col=id_col, vec_col=vec_col
+    )
+    codes = _codes_from_qv(F.col("qv"), codebooks, dim)
+    return res.select(
+        F.col("vid").alias(id_col),
+        "cell",
+        *[c.alias(f"code_{s}") for s, c in enumerate(codes)],
+    )
+
+
+def topk_ivf_pq_residual(
+    embeddings: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_cells: int = KMEANS_K,
+    coarse_iterations: int = KMEANS_ITERS,
+    m: int = PQ_M,
+    k_codes: int = PQ_CODES,
+    pq_iterations: int = PQ_ITERS,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_centroids: list[list[int]] | None = None,
+    codebooks: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k with residual encoding: candidates from the coarse
+    cells, ADC against ``coarse_centroid[cell] + residual
+    reconstruction``. Same audited plan shape as :func:`topk_ivf_pq`
+    (map-only encode, cell equi-join, per-probe top-k window); only
+    the reconstruction expression changes."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if coarse_centroids is None:
+        coarse_centroids = kmeans_train(
+            embeddings,
+            k=n_cells,
+            iterations=coarse_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    if codebooks is None:
+        codebooks = pq_train_residual(
+            embeddings,
+            coarse_centroids,
+            m=m,
+            k_codes=k_codes,
+            iterations=pq_iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
+    code_cols = [f"code_{s}" for s in range(m)]
+    base = pq_encode_residual(
+        embeddings, coarse_centroids, codebooks, dim, id_col, vec_col
+    ).select("cell", F.col(id_col).alias("nbr_id"), *code_cols)
+    q = assign_cells_multi(
+        probes, coarse_centroids, nprobe, vec_col=vec_col
+    ).select(
+        "cell",
+        F.col(id_col).alias("query_id"),
+        _qvec(F.col(vec_col)).alias("q_vec"),
+    )
+    joined = q.join(base, "cell").filter(F.col("query_id") != F.col("nbr_id"))
+    src, cents, attached = _attach_codebook(joined, coarse_centroids)
+    recon = F.zip_with(
+        F.element_at(cents, F.col("cell") + 1),
+        pq_reconstruct_expr([F.col(c) for c in code_cols], codebooks),
+        lambda x, y: x + y,
+    )
+    scored = src.select(
+        "query_id",
+        "nbr_id",
+        _sqdist_cols(F.col("q_vec"), recon).alias("adist"),
+    )
+    # no dedup needed: the base side is single-assigned, so a
+    # (probe, neighbor) pair meets in exactly one probed cell
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(

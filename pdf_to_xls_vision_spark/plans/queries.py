@@ -1354,14 +1354,17 @@ FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
 """
 
 
-def _pq_cte(m: int, k_codes: int, iterations: int, dim: int) -> str:
+def _pq_cte(
+    m: int, k_codes: int, iterations: int, dim: int, src: str = "vecs"
+) -> str:
     """Unrolled per-subspace PQ training + encoding as DuckDB CTEs —
     replays :func:`functions.pq.pq_train` / ``pq_encode`` bit-for-bit
     (first-k-distinct init ordered by min vid, exact int64 Lloyd with
     floor(sum/count) updates, argmin encode with ties to the lowest
-    code). Assumes a ``vecs (vid, qv)`` CTE is already defined. Ends
-    with ``pq{{s}}_code (vid, code)`` per subspace and the final
-    codebooks ``pq{{s}}_cent{iterations}``."""
+    code). Assumes a ``{src} (vid, qv)`` CTE is already defined (raw
+    quantized vectors for direct PQ, coarse-quantizer residuals for
+    IVFPQ-with-residuals). Ends with ``pq{{s}}_code (vid, code)`` per
+    subspace and the final codebooks ``pq{{s}}_cent{iterations}``."""
     dist = (
         "list_sum([(v.qv[i] - c.cent[i]) * (v.qv[i] - c.cent[i]) "
         "FOR i IN range(1, len(v.qv) + 1)])"
@@ -1372,7 +1375,7 @@ def _pq_cte(m: int, k_codes: int, iterations: int, dim: int) -> str:
         a, b = s * ds + 1, (s + 1) * ds
         parts.append(
             f"""sub{s} AS MATERIALIZED (
-  SELECT vid, qv[{a}:{b}] AS qv FROM vecs
+  SELECT vid, qv[{a}:{b}] AS qv FROM {src}
 ),
 pq{s}_cent0 AS MATERIALIZED (
   SELECT (row_number() OVER (ORDER BY mv))::INT - 1 AS cell, cent
@@ -1489,6 +1492,124 @@ recon AS (
   SELECT b.cell, b.nbr_id, {concat} AS rv
   FROM base b
 {recon_joins}
+),
+scored AS (
+  SELECT q.vid AS query_id, r.nbr_id,
+         list_sum([(q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i])
+                   FOR i IN range(1, len(q.qv) + 1)])::BIGINT AS adist
+  FROM asg_final q JOIN recon r USING (cell)
+  WHERE q.vid < {N_PROBES} AND q.vid <> r.nbr_id
+),
+ranked AS (
+  SELECT query_id, nbr_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::INT AS rank, nbr_id, adist
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _residual_vecs_cte(kmeans_iters: int) -> str:
+    """``rvecs (vid, cell, qv)`` — coarse-quantizer residuals
+    (quantized vector minus its assigned centroid, exact int64) on top
+    of :func:`_kmeans_cte`'s ``asg_final`` / ``cent{kmeans_iters}``."""
+    return f"""rvecs AS MATERIALIZED (
+  SELECT a.vid, a.cell,
+         [a.qv[i] - c.cent[i] FOR i IN range(1, len(a.qv) + 1)] AS qv
+  FROM asg_final a JOIN cent{kmeans_iters} c ON a.cell = c.cell
+)"""
+
+
+def q_pq_codes_residual(spark, sf_dir):
+    """Residual-PQ codes (full FAISS IVFPQ form): per-subspace
+    codebooks trained on quantized(vec) - coarse_centroid[cell], codes
+    returned with the coarse cell — directly oracle-checks residual
+    training + encoding."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_train,
+    )
+    from pdf_to_xls_vision_spark.functions.pq import (
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+        pq_encode_residual,
+        pq_train_residual,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coarse = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+    books = pq_train_residual(
+        emb, coarse, m=PQ_M, k_codes=PQ_CODES, iterations=PQ_ITERS,
+        dim=EMB_DIM,
+    )
+    return pq_encode_residual(emb, coarse, books, dim=EMB_DIM)
+
+
+def _sql_pq_codes_residual() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+    from pdf_to_xls_vision_spark.functions.pq import PQ_CODES, PQ_ITERS, PQ_M
+
+    joins = "\n".join(
+        f"JOIN pq{s}_code c{s} ON v.vid = c{s}.vid" for s in range(PQ_M)
+    )
+    cols = ", ".join(f"c{s}.code::INT AS code_{s}" for s in range(PQ_M))
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+{_residual_vecs_cte(KMEANS_ITERS)},
+{_pq_cte(PQ_M, PQ_CODES, PQ_ITERS, EMB_DIM, src="rvecs")}
+SELECT v.vid AS vec_id, v.cell, {cols}
+FROM rvecs v
+{joins}
+"""
+
+
+def q_ann_ivf_pq_residual(spark, sf_dir):
+    """IVF-PQ top-k with RESIDUAL encoding — codebooks trained on
+    coarse residuals, ADC against coarse_centroid + residual
+    reconstruction (functions/pq.py topk_ivf_pq_residual); the same
+    4 B/vector budget as ann_topk_ivf_pq with tighter reconstruction."""
+    from pdf_to_xls_vision_spark.functions.pq import topk_ivf_pq_residual
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES)
+    return topk_ivf_pq_residual(emb, probes, k=TOP_K)
+
+
+def _sql_ann_ivf_pq_residual() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+    from pdf_to_xls_vision_spark.functions.pq import PQ_CODES, PQ_ITERS, PQ_M
+
+    code_joins = "\n".join(
+        f"JOIN pq{s}_code c{s} ON v.vid = c{s}.vid" for s in range(PQ_M)
+    )
+    recon_joins = "\n".join(
+        f"JOIN pq{s}_cent{PQ_ITERS} e{s} ON b.code_{s} = e{s}.cell"
+        for s in range(PQ_M)
+    )
+    code_cols = ", ".join(f"c{s}.code AS code_{s}" for s in range(PQ_M))
+    concat = " || ".join(f"e{s}.cent" for s in range(PQ_M))
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+{_residual_vecs_cte(KMEANS_ITERS)},
+{_pq_cte(PQ_M, PQ_CODES, PQ_ITERS, EMB_DIM, src="rvecs")},
+base AS (
+  SELECT v.cell, v.vid AS nbr_id, {code_cols}
+  FROM rvecs v
+{code_joins}
+),
+prec AS (
+  SELECT b.cell, b.nbr_id, {concat} AS pr
+  FROM base b
+{recon_joins}
+),
+recon AS (
+  SELECT p.cell, p.nbr_id,
+         [cc.cent[i] + p.pr[i] FOR i IN range(1, len(p.pr) + 1)] AS rv
+  FROM prec p JOIN cent{KMEANS_ITERS} cc ON p.cell = cc.cell
 ),
 scored AS (
   SELECT q.vid AS query_id, r.nbr_id,
@@ -3562,7 +3683,8 @@ def q_profile_value_histogram(spark, sf_dir):
 
 SQL_PROFILE_VALUE_HISTOGRAM = f"""
 SELECT CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
-       CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH} AS lo,
+       CAST(CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH}
+            AS DOUBLE) AS lo,
        count(*)::BIGINT AS n,
        min(value) AS bucket_min,
        max(value) AS bucket_max
@@ -3738,6 +3860,8 @@ QUERIES = {
     "ann_topk_ivf_probe_aware": q_ann_ivf_probe_aware,
     "ann_pq_codes": q_pq_codes,
     "ann_topk_ivf_pq": q_ann_ivf_pq,
+    "ann_pq_codes_residual": q_pq_codes_residual,
+    "ann_topk_ivf_pq_residual": q_ann_ivf_pq_residual,
     "dedup_embedding_cosine": q_embedding_near_dups,
     "dedup_embedding_cosine_kmeans": q_embedding_near_dups_kmeans,
     "dedup_embedding_cosine_lsh": q_embedding_lsh,
@@ -3836,6 +3960,8 @@ ORACLES = {
     "ann_topk_ivf_probe_aware": _sql_ann_ivf_probe_aware(),
     "ann_pq_codes": _sql_pq_codes(),
     "ann_topk_ivf_pq": _sql_ann_ivf_pq(),
+    "ann_pq_codes_residual": _sql_pq_codes_residual(),
+    "ann_topk_ivf_pq_residual": _sql_ann_ivf_pq_residual(),
     "dedup_embedding_cosine": SQL_EMBEDDING_NEAR_DUPS,
     "dedup_embedding_cosine_kmeans": _sql_embedding_near_dups_kmeans(),
     "dedup_embedding_cosine_lsh": _sql_embedding_lsh(),

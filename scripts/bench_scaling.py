@@ -47,6 +47,12 @@ sys.path.insert(0, REPO)
 
 N_LOW, N_HIGH = 2, 8  # N and 4N, inside the measured linear range
 
+# Corpus size is pinned (round-5 backlog item 4) so cross-round
+# efficiency figures stay like-for-like: every quiet-window round-4
+# series used 32k docs. Override via SPARK_GRAFT_SCALING_DOCS only
+# with a recorded rationale in BENCH/BASELINE.md.
+PINNED_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "32000"))
+
 SUBMIT_EVIDENCE = '\n## spark-submit execution evidence\n\nThe north rule\'s invocation shape was executed verbatim in this\nsandbox (local master standing in for a cluster manager):\n\n    zip -qr pdf_to_xls_vision_spark.zip pdf_to_xls_vision_spark\n    spark-submit --master local[8] --py-files pdf_to_xls_vision_spark.zip \\\n        job.py corpus.parquet -o ./out --buckets 8\n    # -> {"committed_buckets": 8, "resumed_buckets": 0, "attempt": 1,\n    #     "docs": 43, "pages_parsed": 119, "tables_found": 108,\n    #     "rotation_corrections": 8, "quality_retries": 7, ...}\n\nwhere job.py is two lines delegating to pdf_to_xls_vision_spark.cli.\nThe zip ships only Python (no native deps beyond the container\'s\npyspark/pandas/numpy), so --py-files distribution to real executors\ncarries everything the UDFs import. Re-running the same command\nresumes: committed_buckets=0, resumed_buckets=8, attempt=2.\n'
 N_MAX = 32            # absolute-throughput headline level
 LEVELS = (N_LOW, N_HIGH, N_MAX)
@@ -183,7 +189,7 @@ def run_job(cpus: int, n_docs: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=8000)
+    ap.add_argument("--docs", type=int, default=PINNED_DOCS)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--job", type=int, default=None, help="internal")
     args = ap.parse_args()
@@ -227,7 +233,9 @@ extraction job (classify -> page explode+repartition -> layout-parse /
 vision pandas UDFs -> quality retry -> merge+serialize) on the
 identical deterministic skewed corpus ({args.docs} documents,
 FIXTURES.md page-count distribution: heavy 1-pager head, 100+-page
-tail), executed at multiple parallelism levels in fresh processes.
+tail; the size is PINNED at 32k via SPARK_GRAFT_SCALING_DOCS so
+cross-round efficiency figures compare like-for-like), executed at
+multiple parallelism levels in fresh processes.
 Best of {args.repeats} runs per level (shared-VM host has 2-3x
 wall-clock noise; the minimum is the least-contended run).
 

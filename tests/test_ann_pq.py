@@ -111,6 +111,100 @@ def test_ivf_pq_recall_on_blobs(spark):
     assert hits / tot >= 0.9
 
 
+def test_residual_pq_train_deterministic(spark):
+    from pdf_to_xls_vision_spark.functions.ann import kmeans_train
+    from pdf_to_xls_vision_spark.functions.pq import pq_train_residual
+
+    df = _blob_df(spark)
+    coarse = kmeans_train(df, k=4, iterations=3)
+    a = pq_train_residual(df, coarse, m=2, k_codes=4, iterations=2, dim=8)
+    b = pq_train_residual(df, coarse, m=2, k_codes=4, iterations=2, dim=8)
+    assert a == b
+    assert len(a) == 2 and all(len(cb) == 4 for cb in a)
+
+
+def test_residual_encode_carries_cell_and_codes(spark):
+    from pdf_to_xls_vision_spark.functions.ann import kmeans_train
+    from pdf_to_xls_vision_spark.functions.pq import (
+        pq_encode_residual,
+        pq_train_residual,
+    )
+
+    df = _blob_df(spark)
+    coarse = kmeans_train(df, k=4, iterations=3)
+    books = pq_train_residual(df, coarse, m=2, k_codes=4, iterations=2, dim=8)
+    rows = pq_encode_residual(df, coarse, books, dim=8).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert 0 <= r.cell < 4
+        assert 0 <= r.code_0 < 4 and 0 <= r.code_1 < 4
+
+
+def test_residual_pq_tightens_reconstruction(spark):
+    """The FAISS IVFPQ claim the residual form exists for: at an
+    IDENTICAL code budget (same m, k_codes, iterations), codebooks
+    trained on coarse residuals reconstruct with lower total squared
+    error than direct PQ — residuals of a trained coarse quantizer
+    are centered with smaller spread. Measured on this deterministic
+    fixture: 372,405 vs 507,429 (27% lower); on the sf0.001 corpus
+    embeddings at the default 4x16 geometry: 6.8% lower."""
+    from pdf_to_xls_vision_spark.functions.ann import _qvec, kmeans_train
+    from pdf_to_xls_vision_spark.functions.pq import (
+        _codes_from_qv,
+        _sqdist_cols,
+        pq_code_exprs,
+        pq_reconstruct_expr,
+        pq_train,
+        pq_train_residual,
+        residual_rows,
+    )
+
+    df = _blob_df(spark)
+    coarse = kmeans_train(df, k=4, iterations=3)
+
+    books_d = pq_train(df, m=2, k_codes=4, iterations=2, dim=8)
+    recon_d = pq_reconstruct_expr(
+        pq_code_exprs(F.col("embedding"), books_d, 8), books_d
+    )
+    err_d = df.select(
+        _sqdist_cols(_qvec(F.col("embedding")), recon_d).alias("e")
+    ).agg(F.sum("e")).collect()[0][0]
+
+    books_r = pq_train_residual(df, coarse, m=2, k_codes=4, iterations=2, dim=8)
+    res = residual_rows(df, coarse)
+    recon_r = pq_reconstruct_expr(
+        _codes_from_qv(F.col("qv"), books_r, 8), books_r
+    )
+    err_r = res.select(
+        _sqdist_cols(F.col("qv"), recon_r).alias("e")
+    ).agg(F.sum("e")).collect()[0][0]
+
+    assert err_r < err_d
+
+
+def test_ivf_pq_residual_recall_on_blobs(spark):
+    """Recall@5 of residual IVF-PQ vs exact neighbors on clusterable
+    blobs — at least as good as the direct-PQ bar."""
+    from pdf_to_xls_vision_spark.functions.pq import topk_ivf_pq_residual
+
+    df = _blob_df(spark, k=4, per=25)
+    probes = df.filter(F.col("vec_id").isin([0, 25, 50, 75]))
+    got = topk_ivf_pq_residual(
+        df, probes, k=5, n_cells=4, coarse_iterations=3,
+        m=2, k_codes=8, pq_iterations=2,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.nbr_id)
+    hits = tot = 0
+    for q, nbrs in by_q.items():
+        blob = q // 25
+        tot += len(nbrs)
+        hits += sum(1 for n in nbrs if n // 25 == blob)
+    assert tot == 20
+    assert hits / tot >= 0.9
+
+
 def test_ivf_pq_multiprobe_dedups_pairs(spark):
     """nprobe > 1 must not emit duplicate (query, neighbor) rows."""
     from pdf_to_xls_vision_spark.functions.pq import topk_ivf_pq
