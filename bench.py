@@ -70,6 +70,7 @@ HEADLINE = [
     "index_search_topk",
     "dedup_ngram_spans",
     "text_quality_classifier",
+    "text_lm_score",
     "profile_events_stats",
 ]
 

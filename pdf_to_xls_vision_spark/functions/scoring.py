@@ -85,3 +85,90 @@ def score_documents(
         (F.col("score") / F.col("n_tokens")).alias("score_per_token"),
         (F.col("score") >= F.lit(threshold)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring — the CCNet/KenLM perplexity-filter
+# shape (Wenzek et al. 2020: score every document with a corpus LM and
+# filter/bucket by perplexity), expressed integer-exact so the DuckDB
+# oracle replays training AND scoring bit-for-bit.
+#
+# Model: corpus bigram counts c(w1,w2) and left-context counts
+# c(w1) = sum_w2 c(w1,w2). Per-bigram transition probability
+# p = c12/c1 is kept as the integer ratio r = (c12 << LM_SCALE_BITS)
+# div c1 in [1, 2^LM_SCALE_BITS] (observed bigrams always have
+# c12 >= 1, and scoring the training corpus means every scored bigram
+# is observed — no OOV smoothing needed; stated semantics).
+#
+# Log without floats: bits(r) = length(bin(r + 1)) - 1 is the exact
+# integer floor(log2(r + 1)) — the same bin()-string trick the HLL
+# sketch uses (both engines drop leading zeros). A document's
+# avg_bits then approximates LM_SCALE_BITS + avg log2 p, i.e. a
+# monotone surrogate of negative cross-entropy: higher avg_bits =
+# more probable text = lower perplexity. The ranking a perplexity
+# filter acts on is preserved while every aggregate stays int64; the
+# only float is the single final bits_total / n_bigrams division.
+# ---------------------------------------------------------------------------
+
+LM_SCALE_BITS = 20
+_LM_SCALE = 1 << LM_SCALE_BITS
+
+
+def _ilog2p1(x: Column) -> Column:
+    """Exact ``floor(log2(x + 1))`` for non-negative int64 — bin-string
+    length, no float log."""
+    return (F.length(F.bin(x + F.lit(1))) - F.lit(1)).cast("bigint")
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM quality score over the corpus's own
+    bigram model: ``(doc_id, n_bigrams, bits_total, avg_bits)`` with
+    ``avg_bits`` the integer-log2 transition-probability surrogate
+    described in the module notes (higher = more probable text).
+    Documents with fewer than two tokens are excluded (no bigrams —
+    stated semantics, matching ``rare_word_stats``'s empty-doc rule).
+
+    Plan shape at 10^12 docs: one bigram explode; the model is ONE
+    (w1, w2) count aggregate (map-side combined — hot bigrams like
+    stopword pairs partial-aggregate instead of hot-keying a window);
+    context counts regroup the vocab-scale model rows, not the corpus;
+    scoring joins the corpus bigrams to the model on (w1, w2) — a
+    vocab-scale relation that can NOT be broadcast at design scale, so
+    it is a hash join on the same key the model aggregate already
+    shuffled on; the final per-doc aggregate is keyed by doc_id.
+    """
+    ts = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    toked = docs.select(F.col(id_col).alias("doc_id"), ts.alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    n = F.size("toks")
+    pairs = toked.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", F.lit(1), n - 1),
+                F.slice("toks", F.lit(2), n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    model = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    enriched = model.join(ctx, "w1")
+    ratio = F.expr(f"(c12 * {_LM_SCALE}) div c1")
+    scored = pairs.join(enriched, ["w1", "w2"]).select(
+        "doc_id", _ilog2p1(ratio).alias("bits")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("bits").alias("bits_total")
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "bits_total",
+        (F.col("bits_total") / F.col("n_bigrams")).alias("avg_bits"),
+    )

@@ -3643,6 +3643,52 @@ FROM agg
 """
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (the CCNet/KenLM perplexity-filter
+    shape): corpus bigram model + per-doc integer-log2 transition
+    surrogate, every aggregate int64 (functions/scoring.py
+    bigram_lm_scores)."""
+    from pdf_to_xls_vision_spark.functions.scoring import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+def _sql_lm_score() -> str:
+    from pdf_to_xls_vision_spark.functions.scoring import _LM_SCALE
+
+    return f"""
+WITH toked AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toked
+  WHERE len(toks) >= 2
+),
+model AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, sum(c12)::BIGINT AS c1 FROM model GROUP BY 1
+),
+bits AS (
+  SELECT p.doc_id,
+         (length(bin((m.c12 * {_LM_SCALE}) // x.c1 + 1)) - 1)::BIGINT AS b
+  FROM pairs p JOIN model m USING (w1, w2) JOIN ctx x USING (w1)
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(b)::BIGINT AS bits_total
+  FROM bits GROUP BY 1
+)
+SELECT doc_id, n_bigrams, bits_total,
+       bits_total::DOUBLE / n_bigrams AS avg_bits
+FROM agg
+"""
+
+
 _PROFILE_COLS = ["event_id", "user_id", "value"]
 _HIST_WIDTH = 25.0
 
@@ -3747,6 +3793,101 @@ def q_streaming_enrich_join(spark, sf_dir):
 SQL_STREAMING_ENRICH_JOIN = """
 SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey - 1
+"""
+
+
+#: view -> purchase attribution window for the stream-stream interval
+#: join (12 h keeps the match set live at every SF: 36 pairs at
+#: sf0.001, 428 at sf0.01)
+_IVJ_WINDOW_SECONDS = 12 * 3600
+
+
+def q_streaming_interval_join(spark, sf_dir):
+    """Batch parity of the stream-stream interval join
+    (streaming/interval_join.py): the events table driven as TWO file
+    streams (views and purchases, maxFilesPerTrigger=1 so matches
+    cross micro-batch boundaries), inner-joined on user_id with
+    buy_ts in [view_ts, view_ts + 12 h]. The watermark (35 days)
+    exceeds the corpus's full 30-day span, so no state evicts and the
+    availableNow replay must emit exactly the batch join's match set."""
+    import atexit
+    import shutil
+
+    from pdf_to_xls_vision_spark.streaming.interval_join import (
+        interval_join_streams,
+    )
+
+    base = tempfile.mkdtemp(prefix="ptxv_stream_ivj_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+
+    def _src():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+    views = (
+        _src()
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    buys = (
+        _src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("buy_id"),
+            "user_id",
+            F.col("ts").alias("buy_ts"),
+        )
+    )
+    joined = interval_join_streams(
+        views,
+        buys,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="buy_ts",
+        lower_seconds=0,
+        upper_seconds=_IVJ_WINDOW_SECONDS,
+        watermark="35 days",
+    ).select("view_id", "buy_id", "user_id", "view_ts", "buy_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming parity run 'interval_join' timed out after 600s — "
+            "refusing to compare a partial sink against the oracle"
+        )
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAMING_INTERVAL_JOIN = f"""
+SELECT v.event_id AS view_id, p.event_id AS buy_id, v.user_id,
+       v.ts AS view_ts, p.ts AS buy_ts
+FROM events v JOIN events p ON v.user_id = p.user_id
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL {_IVJ_WINDOW_SECONDS} SECONDS
 """
 
 
@@ -3908,10 +4049,12 @@ QUERIES = {
     "streaming_sessionize": q_streaming_sessionize,
     "streaming_dedup_docs": q_streaming_dedup_docs,
     "streaming_enrich_join": q_streaming_enrich_join,
+    "streaming_interval_join": q_streaming_interval_join,
     # IR / model-scoring / profiling families
     "index_postings": q_index_postings,
     "index_search_topk": q_index_search,
     "text_quality_classifier": q_quality_classifier,
+    "text_lm_score": q_lm_score,
     "profile_events_stats": q_profile_events_stats,
     "profile_value_histogram": q_profile_value_histogram,
     # non-SQL-expressible — oracled against materialized expected
@@ -4006,9 +4149,11 @@ ORACLES = {
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_dedup_docs": SQL_STREAMING_DEDUP_DOCS,
     "streaming_enrich_join": SQL_STREAMING_ENRICH_JOIN,
+    "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "index_postings": SQL_INDEX_POSTINGS,
     "index_search_topk": _sql_index_search(),
     "text_quality_classifier": _sql_quality_classifier(),
+    "text_lm_score": _sql_lm_score(),
     "profile_events_stats": SQL_PROFILE_EVENTS_STATS,
     "profile_value_histogram": SQL_PROFILE_VALUE_HISTOGRAM,
     "extraction_spans": SQL_EXTRACTION_SPANS,

@@ -159,3 +159,45 @@ def test_numeric_histogram(spark):
     assert math.isclose(sum(r["n"] for r in got.values()), 7)  # NULL dropped
     with pytest.raises(ValueError, match="width"):
         numeric_histogram(df, "v", 0.0)
+
+
+def test_bigram_lm_scores_hand_model(spark):
+    """Tiny corpus with a hand-derived bigram model:
+    doc 1 = "a b a c" -> bigrams (a,b) (b,a) (a,c); doc 2 = "a b";
+    model c(a,b)=2 c(b,a)=1 c(a,c)=1; contexts c(a)=3 c(b)=1.
+    ratios (<<20, div): (a,b)=699050 -> 19 bits; (b,a)=2^20 -> 20;
+    (a,c)=349525 -> 18. Single-token and empty docs are excluded."""
+    from pdf_to_xls_vision_spark.functions.scoring import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b"), (3, "z"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["bits_total"] == 19 + 20 + 18
+    assert got[1]["avg_bits"] == pytest.approx(57 / 3)
+    assert got[2]["n_bigrams"] == 1 and got[2]["bits_total"] == 19
+
+
+def test_bigram_lm_probable_text_scores_higher(spark):
+    """The perplexity-filter property: text made of frequent
+    transitions outscores text with rare transitions from the same
+    contexts."""
+    from pdf_to_xls_vision_spark.functions.scoring import bigram_lm_scores
+
+    rows = [(i, "u v") for i in range(10)] + [(99, "u w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_bits"] for r in bigram_lm_scores(df).collect()}
+    assert got[0] > got[99]
+
+
+def test_bigram_lm_partitioning_independent(spark):
+    from pdf_to_xls_vision_spark.functions.scoring import bigram_lm_scores
+
+    rows = [(i, f"w{i % 3} w{(i + 1) % 4} w{i % 5} end") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, bigram_lm_scores(df.repartition(1)).collect()))
+    b = sorted(map(tuple, bigram_lm_scores(df.repartition(7, "doc_id")).collect()))
+    assert a == b
