@@ -139,6 +139,27 @@ that size, so the scanned-cells metric — not wall — is the
 scale-relevant evidence, and it is reported unspun alongside the
 unfavorable small-scale wall.
 
+## Payload-width A/B for the JSON-string contracts (round 4, session 8)
+
+`scripts/ab_payload_width.py` (2,000 docs x 480 cells, width 5/20/48,
+~10% None, doc_id exchange -> applyInPandas consuming every cell,
+warmup + best-of-3, executor-time deltas):
+
+    width  5: nested 21.6 exec-s vs json 16.4 -> ratio 1.31
+    width 20: nested 17.5 exec-s vs json 15.6 -> ratio 1.12
+    width 48: nested 19.8 exec-s vs json 14.9 -> ratio 1.33
+
+Reading (recorded unspun): the JSON-string form wins at EVERY width
+(12-33% on the hop stage including the consumer loop), but with total
+cells held constant there is NO monotone width trend — the nested
+form's cost is per-CELL Python-object materialization, not per-row,
+so the round-4 hypothesis "the win grows with table width" is not
+confirmed in this form; what the measurement does confirm is that the
+shipped contracts (grid + spans_json as single string columns) are
+the right call across the whole width range, with no crossover where
+nested Arrow would win. Results verified identical between
+representations at each width.
+
 ## Co-located join via bucketing (round 4, session 3)
 
 `scripts/demo_bucketed_join.py` (sf0.01, broadcast disabled to force
