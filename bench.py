@@ -71,6 +71,7 @@ HEADLINE = [
     "dedup_ngram_spans",
     "text_quality_classifier",
     "text_lm_score",
+    "curation_temperature_mix",
     "profile_events_stats",
 ]
 

@@ -462,3 +462,123 @@ def assign_splits(
     return docs.select(
         F.col(id_col).alias("doc_id"), h.alias("h60"), split.alias("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# source/domain-level curation: temperature-smoothed mixing + badlists
+# ---------------------------------------------------------------------------
+
+
+def _isqrt_expr(x):
+    """Exact ``floor(sqrt(x))`` for non-negative int64: float sqrt can
+    land one off near perfect squares (and loses integer resolution
+    above 2^52), so the float floor is corrected with two integer
+    comparisons — the result is provably the true integer root, which
+    keeps the DuckDB oracle bit-exact."""
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("bigint")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
+    return F.when(s1 * s1 > x, s1 - 1).otherwise(s1)
+
+
+def temperature_mix(
+    docs: DataFrame,
+    total_budget: int,
+    *,
+    stratum_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-smoothed source mixing at tau = 0.5 (the standard
+    multilingual/multi-source rebalancing move: sampling proportional
+    to ``weight^tau`` upweights small sources relative to raw
+    proportional sampling). tau = 0.5 is the one temperature with an
+    integer-exact form — ``isqrt(weight)`` — so the whole mixture
+    replays bit-for-bit in the oracle; arbitrary tau needs float
+    ``pow`` accumulation across engines and is a stated non-goal.
+
+    ``budget_s = (total_budget * isqrt(w_s)) div sum_t(isqrt(w_t))``
+    documents are kept per stratum — the smallest-hash quota, so the
+    keep-set is deterministic and partitioning-independent. Returns
+    ``(doc_id, stratum, h60, rk, budget)``.
+
+    Plan: stratum weights are ONE map-side-combined aggregate
+    (metadata-scale rows); the global isqrt sum is a one-row broadcast
+    cross-join; ranking is a per-stratum window on (h60, id) — the
+    same per-shard pattern as budget_sample (a global rank would
+    single-task at corpus scale; strata are the parallel unit).
+    """
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    w = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(F.col(weight_col)).cast("bigint").alias("wt")
+    )
+    iw = w.select("stratum", _isqrt_expr(F.col("wt")).alias("iw"))
+    tot = iw.agg(F.sum("iw").cast("bigint").alias("t"))
+    budgets = iw.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        F.expr(f"({int(total_budget)} * iw) div t").alias("budget"),
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        _h60_of(id_col, salt).alias("h60"),
+    )
+    win = Window.partitionBy("stratum").orderBy("h60", "doc_id")
+    ranked = d.withColumn("rk", F.row_number().over(win).cast("bigint"))
+    return ranked.join(F.broadcast(budgets), "stratum").filter(
+        F.col("rk") <= F.col("budget")
+    ).select("doc_id", "stratum", "h60", "rk", "budget")
+
+
+def domain_filter(
+    docs: DataFrame,
+    *,
+    threshold_milli: int = 0,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain/source-level quality verdicts — the C4-style badlist
+    move (drop every document from a low-quality domain, not just the
+    low-quality documents): aggregate the hashed-linear classifier
+    score per source and keep sources whose mean per-token score
+    clears ``threshold_milli / 1000``.
+
+    The comparison is cross-multiplied integers
+    (``score_total * 1000 >= threshold_milli * tokens_total``) — no
+    division, no float, bit-exact in the oracle. Returns one verdict
+    row per source: ``(stratum, n_docs, tokens_total, score_total,
+    keep)``; callers drop documents with a broadcast semi-join on the
+    kept strata.
+
+    Plan: doc scoring is the classifier's map-only pass + doc
+    aggregate; the source rollup is a second metadata-scale aggregate.
+    """
+    from pdf_to_xls_vision_spark.functions.scoring import score_documents
+
+    scored = score_documents(
+        docs, id_col=id_col, text_col=text_col
+    ).select("doc_id", "n_tokens", "score")
+    strata = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(stratum_col).alias("stratum")
+    )
+    per_src = (
+        scored.join(strata, "doc_id")
+        .groupBy("stratum")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum("score").alias("score_total"),
+        )
+    )
+    return per_src.select(
+        "stratum",
+        "n_docs",
+        "tokens_total",
+        "score_total",
+        (
+            F.col("score_total") * F.lit(1000)
+            >= F.lit(int(threshold_milli)) * F.col("tokens_total")
+        ).alias("keep"),
+    )

@@ -3643,6 +3643,91 @@ FROM agg
 """
 
 
+#: temperature-mix total budget / domain-filter threshold (milli mean
+#: per-token score; per-source means span ~2790-3065 at sf0.001, so
+#: 2950 keeps both verdict branches live)
+_TMIX_BUDGET = 200
+_DOMAIN_THRESHOLD_MILLI = 2950
+
+
+def q_temperature_mix(spark, sf_dir):
+    """tau=0.5 temperature-smoothed source mixing: per-source budgets
+    proportional to isqrt(char mass), smallest-hash quota selection —
+    integer-exact end-to-end (functions/curation.temperature_mix)."""
+    from pdf_to_xls_vision_spark.functions.curation import temperature_mix
+
+    return temperature_mix(_t(spark, sf_dir, "documents"), _TMIX_BUDGET)
+
+
+def _sql_temperature_mix() -> str:
+    h = h60_sql("CAST(doc_id AS VARCHAR)", "tmix")
+    return f"""
+WITH w AS (
+  SELECT source AS stratum, sum(n_chars)::BIGINT AS wt
+  FROM documents GROUP BY 1
+),
+s0 AS (SELECT stratum, wt,
+              CAST(floor(sqrt(CAST(wt AS DOUBLE))) AS BIGINT) AS s0 FROM w),
+s1 AS (SELECT stratum, wt,
+              CASE WHEN (s0 + 1) * (s0 + 1) <= wt THEN s0 + 1 ELSE s0 END AS s1
+       FROM s0),
+iw AS (SELECT stratum,
+              CASE WHEN s1 * s1 > wt THEN s1 - 1 ELSE s1 END AS iw FROM s1),
+tot AS (SELECT sum(iw)::BIGINT AS t FROM iw),
+b AS (SELECT stratum, (({_TMIX_BUDGET} * iw) // t)::BIGINT AS budget
+      FROM iw CROSS JOIN tot),
+d AS (SELECT doc_id, source AS stratum, {h} AS h60 FROM documents),
+r AS (SELECT doc_id, stratum, h60,
+             (row_number() OVER (PARTITION BY stratum
+                                 ORDER BY h60, doc_id))::BIGINT AS rk
+      FROM d)
+SELECT r.doc_id, r.stratum, r.h60, r.rk, b.budget
+FROM r JOIN b USING (stratum) WHERE r.rk <= b.budget
+"""
+
+
+def q_domain_filter(spark, sf_dir):
+    """C4-style domain badlist verdicts: per-source rollup of the
+    hashed-linear classifier score, keep decided by a cross-multiplied
+    integer mean comparison (functions/curation.domain_filter)."""
+    from pdf_to_xls_vision_spark.functions.curation import domain_filter
+
+    return domain_filter(
+        _t(spark, sf_dir, "documents"),
+        threshold_milli=_DOMAIN_THRESHOLD_MILLI,
+    )
+
+
+def _sql_domain_filter() -> str:
+    bucket = f"({h60_sql('term', 'qcb')} % 256)"
+    weight = f"(({h60_sql(f'CAST({bucket} AS VARCHAR)', 'qcw')} % 17) - 8)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+wt AS (SELECT doc_id, {weight} AS w FROM toks),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w)::BIGINT AS score
+  FROM wt GROUP BY 1
+),
+j AS (
+  SELECT d.source AS stratum, a.n_tokens, a.score
+  FROM agg a JOIN documents d USING (doc_id)
+),
+per AS (
+  SELECT stratum, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS tokens_total,
+         sum(score)::BIGINT AS score_total
+  FROM j GROUP BY 1
+)
+SELECT stratum, n_docs, tokens_total, score_total,
+       score_total * 1000 >= {_DOMAIN_THRESHOLD_MILLI} * tokens_total AS keep
+FROM per
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM quality scoring (the CCNet/KenLM perplexity-filter
     shape): corpus bigram model + per-doc integer-log2 transition
@@ -4055,6 +4140,8 @@ QUERIES = {
     "index_search_topk": q_index_search,
     "text_quality_classifier": q_quality_classifier,
     "text_lm_score": q_lm_score,
+    "curation_temperature_mix": q_temperature_mix,
+    "curation_domain_filter": q_domain_filter,
     "profile_events_stats": q_profile_events_stats,
     "profile_value_histogram": q_profile_value_histogram,
     # non-SQL-expressible — oracled against materialized expected
@@ -4154,6 +4241,8 @@ ORACLES = {
     "index_search_topk": _sql_index_search(),
     "text_quality_classifier": _sql_quality_classifier(),
     "text_lm_score": _sql_lm_score(),
+    "curation_temperature_mix": _sql_temperature_mix(),
+    "curation_domain_filter": _sql_domain_filter(),
     "profile_events_stats": SQL_PROFILE_EVENTS_STATS,
     "profile_value_histogram": SQL_PROFILE_VALUE_HISTOGRAM,
     "extraction_spans": SQL_EXTRACTION_SPANS,

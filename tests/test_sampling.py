@@ -171,3 +171,85 @@ def test_assign_splits_rejects_bad_weights(spark, docs):
         assign_splits(docs, [("train", 1.0), ("val", 0.0)])
     with _pytest.raises(ValueError):
         assign_splits(docs, [])
+
+
+def test_isqrt_expr_exact_on_boundaries(spark):
+    from pdf_to_xls_vision_spark.functions.curation import _isqrt_expr
+
+    import math
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 17, 2**40, 2**40 + 1,
+            (2**26 - 1) ** 2, (2**26 - 1) ** 2 - 1, (2**26 - 1) ** 2 + 1,
+            2**60 - 1, 10**18]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["x"]: r["s"] for r in df.select("x", _isqrt_expr(F.col("x")).alias("s")).collect()}
+    for v in vals:
+        assert got[v] == math.isqrt(v), f"isqrt({v})"
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    """tau=0.5's point: the small stratum's budget share must exceed
+    its raw proportional share. Weights 100 vs 10000 -> isqrt 10 vs
+    100 -> small share 10/110 = 9.1% of the budget (proportional
+    would be ~1%)."""
+    from pdf_to_xls_vision_spark.functions.curation import temperature_mix
+
+    rows = [(i, "small", 1) for i in range(100)] + [
+        (1000 + i, "big", 1) for i in range(10000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = temperature_mix(df, 110).collect()
+    budgets = {r["stratum"]: r["budget"] for r in got}
+    counts = {}
+    for r in got:
+        counts[r["stratum"]] = counts.get(r["stratum"], 0) + 1
+    assert budgets == {"small": 10, "big": 100}
+    assert counts == {"small": 10, "big": 100}
+
+
+def test_temperature_mix_deterministic_and_validated(spark):
+    from pdf_to_xls_vision_spark.functions.curation import temperature_mix
+
+    rows = [(i, f"s{i % 5}", (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    a = sorted(map(tuple, temperature_mix(df.repartition(1), 100).collect()))
+    b = sorted(
+        map(tuple, temperature_mix(df.repartition(9, "doc_id"), 100).collect())
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="total_budget"):
+        temperature_mix(df, 0)
+
+
+def test_domain_filter_verdicts_match_doc_scores(spark):
+    """Verdicts must equal an independent rollup of the public
+    per-doc classifier scores, and threshold extremes flip all
+    verdicts."""
+    from collections import defaultdict
+
+    from pdf_to_xls_vision_spark.functions.curation import domain_filter
+    from pdf_to_xls_vision_spark.functions.scoring import score_documents
+
+    rows = [
+        (i, f"src{i % 3}", f"alpha beta w{i % 11} w{i % 5} gamma")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    per_doc = score_documents(df).collect()
+    src_of = {i: f"src{i % 3}" for i in range(90)}
+    tot = defaultdict(lambda: [0, 0, 0])
+    for r in per_doc:
+        t = tot[src_of[r["doc_id"]]]
+        t[0] += 1
+        t[1] += r["n_tokens"]
+        t[2] += r["score"]
+    got = {r["stratum"]: r for r in domain_filter(df, threshold_milli=0).collect()}
+    assert set(got) == set(tot)
+    for s, (nd, ntok, sc) in tot.items():
+        r = got[s]
+        assert (r["n_docs"], r["tokens_total"], r["score_total"]) == (nd, ntok, sc)
+        assert r["keep"] == (sc * 1000 >= 0)
+    hi = domain_filter(df, threshold_milli=10**9).collect()
+    assert all(not r["keep"] for r in hi)
+    lo = domain_filter(df, threshold_milli=-(10**9)).collect()
+    assert all(r["keep"] for r in lo)
