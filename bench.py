@@ -72,6 +72,7 @@ HEADLINE = [
     "text_quality_classifier",
     "text_lm_score",
     "curation_temperature_mix",
+    "layout_zorder_keys",
     "profile_events_stats",
 ]
 

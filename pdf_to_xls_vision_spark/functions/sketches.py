@@ -222,3 +222,67 @@ def countmin_estimates(
             .alias("cm_estimate")
         )
     )
+
+
+def kmv_sketch(
+    df: DataFrame, col: str | Column, *, k: int = 128, salt: str = "kmv"
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch: the ``k``
+    smallest DISTINCT portable hashes of the column. Returns
+    ``(rank, kmv_hash)`` with rank 1..k ascending.
+
+    Plan shape: distinct is a hash-aggregate with map-side partial
+    combine; the bottom-k compiles to ``TakeOrderedAndProject``
+    (per-partition heap + k-row driver merge — never a global sort).
+    The window that assigns ranks runs AFTER the limit, over k rows of
+    driver-scale metadata. Shard sketches union-merge losslessly:
+    bottom-k of the concatenated sketch rows equals the sketch of the
+    concatenated inputs (each shard retains every hash that could make
+    the global bottom-k) — the property that makes KMV the
+    distributed-distinct sketch that also supports set INTERSECTION
+    estimates, which HLL cannot.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql.window import Window
+
+    hashes = (
+        df.select(h60(col, salt).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    w = Window.orderBy("h")  # k rows only — post-limit metadata
+    return hashes.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("h").alias("kmv_hash"),
+    )
+
+
+def kmv_estimate_row(
+    sketch: DataFrame, *, k: int = 128, salt: str = "kmv"
+) -> DataFrame:
+    """One-row cardinality estimate from a KMV sketch: with the k-th
+    smallest of ``n`` uniform hashes in ``[0, 2^60)`` sitting at
+    ``≈ k/(n+1) · 2^60``, the unbiased estimator is
+    ``(k − 1) · 2^60 / h_(k)``. Both inputs are integers identical
+    across engines, so the one double division is identical too. If
+    the input had fewer than ``k`` distinct values the sketch IS the
+    distinct set and the exact count is returned instead.
+    """
+    agg = sketch.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("kmv_hash").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << _HASH_BITS)))
+        / F.col("kth_hash").cast("double")
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_kept",
+        "kth_hash",
+        F.round(est, 6).alias("estimate"),
+    )

@@ -3025,6 +3025,102 @@ FROM probes pr JOIN pest pe USING (token)
 """
 
 
+def q_pagerank_parts(spark, sf_dir):
+    """Fixed-iteration integer PageRank (functions/graph.py) over the
+    part co-purchase graph: within each order, DISTINCT
+    (linenumber, partkey) tuples ordered by (linenumber, partkey)
+    chain into directed edges part_i -> part_{i+1} (the distinct-tuple
+    order is deterministic where raw row order is not — the synthetic
+    lineitem has duplicate (order, linenumber) rows). 3 unrolled
+    iterations, every rank an integer — bit-identical to the oracle's
+    CTE replay. Per iteration: one edges-ranks shuffle join on src +
+    one hash-aggregate on dst; ranks are |V| rows and never
+    broadcast."""
+    from pdf_to_xls_vision_spark.functions.graph import pagerank_fixed
+
+    li = _t(spark, sf_dir, "lineitem")
+    tup = li.select("l_orderkey", "l_linenumber", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    seq = tup.select(
+        F.col("l_partkey").alias("src"),
+        F.lead("l_partkey").over(w).alias("dst"),
+    )
+    edges = seq.where(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+    ).distinct()
+    return pagerank_fixed(edges, iters=3).select(
+        F.col("node").alias("part_id"), "pr_scaled"
+    )
+
+
+def _sql_pagerank_parts() -> str:
+    from pdf_to_xls_vision_spark.functions.graph import pagerank_fixed_sql
+
+    chain = pagerank_fixed_sql("edges", iters=3)
+    return f"""
+WITH tup AS (
+  SELECT DISTINCT l_orderkey, l_linenumber, l_partkey FROM lineitem
+),
+seq AS (
+  SELECT l_partkey AS src,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey) AS dst
+  FROM tup
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM seq
+  WHERE dst IS NOT NULL AND dst <> src
+),
+{chain}
+SELECT node AS part_id, r AS pr_scaled FROM r3
+"""
+
+
+_KMV_K = 128
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct sketch of document texts (k=128): the
+    k smallest portable hashes ARE the verified artifact — unlike HLL
+    a KMV sketch also supports set-intersection estimates, and shard
+    sketches union-merge losslessly (bottom-k of concatenated sketch
+    rows). The k rows carry the one-row estimate + exact distinct
+    alongside (k rows x constant evidence columns)."""
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        kmv_estimate_row,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = kmv_sketch(docs, F.col("text"), k=_KMV_K)
+    est = kmv_estimate_row(sk, k=_KMV_K)
+    exact = docs.agg(
+        F.count_distinct("text").cast("long").alias("exact_distinct")
+    )
+    return sk.crossJoin(est).crossJoin(exact)
+
+
+def _sql_kmv_distinct() -> str:
+    k = _KMV_K
+    h = h60_sql("text", "kmv")
+    unbias = float((k - 1) * (1 << 60))
+    return f"""
+WITH hashes AS (SELECT DISTINCT {h} AS h FROM documents),
+sk AS (
+  SELECT row_number() OVER (ORDER BY h)::BIGINT AS rank, h AS kmv_hash
+  FROM hashes ORDER BY h LIMIT {k}
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_kept, max(kmv_hash) AS kth_hash FROM sk
+)
+SELECT sk.rank, sk.kmv_hash, {k}::BIGINT AS k, agg.n_kept, agg.kth_hash,
+       round(CASE WHEN agg.n_kept < {k} THEN agg.n_kept::DOUBLE
+                  ELSE {unbias!r} / agg.kth_hash::DOUBLE END, 6) AS estimate,
+       (SELECT count(DISTINCT text)::BIGINT FROM documents) AS exact_distinct
+FROM sk, agg
+"""
+
+
 _DECON_MOD = 17  # doc_id % MOD == 0 -> the held-out "benchmark" slice
 _DECON_N = 8
 
@@ -3643,6 +3739,35 @@ FROM agg
 """
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) layout keys over (user_id, floor(value)) —
+    the Delta OPTIMIZE ZORDER / Iceberg sort-order write-side step for
+    multi-dimensional scan pruning (functions/layout.py; measured
+    row-group-pruning evidence in scripts/demo_zorder_layout.py).
+    Pure integer bit interleaving, map-only."""
+    from pdf_to_xls_vision_spark.functions.layout import morton_key_expr
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vb = F.floor(F.col("value")).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        vb.alias("vbucket"),
+        morton_key_expr(F.col("user_id"), vb).alias("zkey"),
+    )
+
+
+def _sql_zorder_keys() -> str:
+    from pdf_to_xls_vision_spark.functions.layout import morton_key_sql
+
+    key = morton_key_sql("user_id", "CAST(floor(value) AS BIGINT)")
+    return f"""
+SELECT event_id, user_id, CAST(floor(value) AS BIGINT) AS vbucket,
+       {key} AS zkey
+FROM events WHERE value IS NOT NULL
+"""
+
+
 #: temperature-mix total budget / domain-filter threshold (milli mean
 #: per-token score; per-source means span ~2790-3065 at sf0.001, so
 #: 2950 keeps both verdict branches live)
@@ -4106,6 +4231,8 @@ QUERIES = {
     "sketch_hll_distinct": q_hll_distinct,
     "sketch_bloom_filter": q_bloom_filter,
     "sketch_countmin_words": q_countmin_words,
+    "sketch_kmv_distinct": q_kmv_distinct,
+    "graph_pagerank_parts": q_pagerank_parts,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_rare_word_stats": q_rare_word_stats,
@@ -4142,6 +4269,7 @@ QUERIES = {
     "text_lm_score": q_lm_score,
     "curation_temperature_mix": q_temperature_mix,
     "curation_domain_filter": q_domain_filter,
+    "layout_zorder_keys": q_zorder_keys,
     "profile_events_stats": q_profile_events_stats,
     "profile_value_histogram": q_profile_value_histogram,
     # non-SQL-expressible — oracled against materialized expected
@@ -4210,6 +4338,8 @@ ORACLES = {
     "sketch_hll_distinct": _sql_hll_distinct(),
     "sketch_bloom_filter": _sql_bloom_filter(),
     "sketch_countmin_words": _sql_countmin_words(),
+    "sketch_kmv_distinct": _sql_kmv_distinct(),
+    "graph_pagerank_parts": _sql_pagerank_parts(),
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rare_word_stats": SQL_RARE_WORD_STATS,
@@ -4243,6 +4373,7 @@ ORACLES = {
     "text_lm_score": _sql_lm_score(),
     "curation_temperature_mix": _sql_temperature_mix(),
     "curation_domain_filter": _sql_domain_filter(),
+    "layout_zorder_keys": _sql_zorder_keys(),
     "profile_events_stats": SQL_PROFILE_EVENTS_STATS,
     "profile_value_histogram": SQL_PROFILE_VALUE_HISTOGRAM,
     "extraction_spans": SQL_EXTRACTION_SPANS,

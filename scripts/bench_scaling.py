@@ -139,6 +139,26 @@ that size, so the scanned-cells metric — not wall — is the
 scale-relevant evidence, and it is reported unspun alongside the
 unfavorable small-scale wall.
 
+## Z-order layout: measured row-group pruning (round 4, session 8)
+
+`scripts/demo_zorder_layout.py` (2M uniform 2-D points, 32 files,
+256 KB row groups, pruning computed from the real parquet footer
+min/max stats — the same bounds an Iceberg/Delta reader consumes):
+
+    box query (x in [100,180], y in [200,280], 12,506 rows):
+      random   192/192 row groups scanned
+      linear_x  17/198
+      zorder    10/199
+    y-band query (y in [500,540]):
+      random   192/192
+      linear_x 198/198   <- single-key sort prunes NOTHING on y
+      zorder    32/199   <- 6x fewer, bounded on BOTH dims
+
+All three layouts return identical query results (asserted in Spark).
+This is the write-side layout step `functions/layout.zorder_layout`
+performs; the morton key itself is the oracled query
+`layout_zorder_keys`.
+
 ## Payload-width A/B for the JSON-string contracts (round 4, session 8)
 
 `scripts/ab_payload_width.py` (2,000 docs x 480 cells, width 5/20/48,

@@ -1,0 +1,79 @@
+"""Fixed-iteration integer PageRank (functions/graph.py) vs an
+independent sequential dict model — different shape (per-node Python
+loop vs join+aggregate), same integer arithmetic, so equality is
+evidence about semantics. Registry parity covers the DuckDB replay.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_to_xls_vision_spark.functions.graph import PR_SCALE, pagerank_fixed
+
+
+def _model(edges, iters=3, damping_pct=85, scale=PR_SCALE):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (100 - damping_pct) * scale // (100 * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        inflow = {}
+        for u, v in edges:
+            inflow[v] = inflow.get(v, 0) + r[u] // outdeg[u]
+        r = {
+            v: base + damping_pct * inflow.get(v, 0) // 100 for v in nodes
+        }
+    return r
+
+
+def _spark_pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        row["node"]: row["pr_scaled"]
+        for row in pagerank_fixed(df, **kw).collect()
+    }
+
+
+CHAIN = [(1, 2), (2, 3), (3, 4)]
+CYCLE = [(1, 2), (2, 3), (3, 1)]
+STAR = [(1, 9), (2, 9), (3, 9), (4, 9), (9, 1)]
+DIAMOND = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 1)]
+
+
+@pytest.mark.parametrize("edges", [CHAIN, CYCLE, STAR, DIAMOND])
+def test_pagerank_matches_sequential_model(spark, edges):
+    assert _spark_pr(spark, edges) == _model(edges)
+
+
+def test_pagerank_more_cited_ranks_higher(spark):
+    r = _spark_pr(spark, STAR)
+    assert r[9] == max(r.values())  # the hub everyone cites
+    assert r[2] == r[3] == r[4]  # symmetric leaves tie exactly
+
+
+def test_pagerank_partitioning_independent(spark):
+    df = spark.createDataFrame(DIAMOND, ["src", "dst"])
+    a = {
+        row["node"]: row["pr_scaled"]
+        for row in pagerank_fixed(df.repartition(7)).collect()
+    }
+    assert a == _model(DIAMOND)
+
+
+def test_pagerank_iters_and_damping_forwarded(spark):
+    assert _spark_pr(spark, CYCLE, iters=5, damping_pct=50) == _model(
+        CYCLE, iters=5, damping_pct=50
+    )
+
+
+def test_pagerank_rejects_bad_args(spark):
+    df = spark.createDataFrame(CHAIN, ["src", "dst"])
+    with pytest.raises(ValueError):
+        pagerank_fixed(df, iters=0)
+    with pytest.raises(ValueError):
+        pagerank_fixed(df, damping_pct=100)
+    with pytest.raises(ValueError):
+        pagerank_fixed(df.where("src < 0"))

@@ -152,3 +152,67 @@ def test_countmin_rejects_bad_params(spark):
 
     with pytest.raises(ValueError):
         countmin_table(_ids(spark, 10), F.col("v"), width=0)
+
+
+# --------------------------------------------------------------- KMV
+
+def _kmv_rows(df, k=64):
+    from pdf_to_xls_vision_spark.functions.sketches import kmv_sketch
+
+    return [
+        (r["rank"], r["kmv_hash"])
+        for r in kmv_sketch(df, F.col("v"), k=k).collect()
+    ]
+
+
+@pytest.mark.parametrize("n", [200, 2000])
+def test_kmv_estimate_within_expected_error(spark, n):
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        kmv_estimate_row,
+        kmv_sketch,
+    )
+
+    # k=64 -> relative error ~1/sqrt(62) = 13%; allow 3 sigma
+    sk = kmv_sketch(_ids(spark, n), F.col("v"), k=64)
+    row = kmv_estimate_row(sk, k=64).collect()[0]
+    assert row["n_kept"] == 64
+    assert abs(row["estimate"] - n) / n < 0.40, row
+
+
+def test_kmv_exact_below_k(spark):
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        kmv_estimate_row,
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(_ids(spark, 40), F.col("v"), k=64)
+    row = kmv_estimate_row(sk, k=64).collect()[0]
+    assert row["n_kept"] == 40 and row["estimate"] == 40.0
+
+
+def test_kmv_union_merge_lossless(spark):
+    # bottom-k over the union of two shard sketches == sketch of the
+    # concatenated input (the distributed-merge property)
+    from pdf_to_xls_vision_spark.functions.sketches import kmv_sketch
+
+    a, b = _ids(spark, 300), _ids(spark, 500)  # overlapping prefixes
+    sa = kmv_sketch(a, F.col("v"), k=64).select("kmv_hash")
+    sb = kmv_sketch(b, F.col("v"), k=64).select("kmv_hash")
+    merged = sorted(
+        {r["kmv_hash"] for r in sa.unionAll(sb).collect()}
+    )[:64]
+    direct = [h for _, h in _kmv_rows(a.unionAll(b), k=64)]
+    assert merged == direct
+
+
+def test_kmv_partitioning_independent_and_duplicates_ignored(spark):
+    df = _ids(spark, 400)
+    dup = df.unionAll(df).repartition(13)
+    assert _kmv_rows(df, k=32) == _kmv_rows(dup, k=32)
+
+
+def test_kmv_rejects_bad_k(spark):
+    from pdf_to_xls_vision_spark.functions.sketches import kmv_sketch
+
+    with pytest.raises(ValueError):
+        kmv_sketch(_ids(spark, 10), F.col("v"), k=0)
