@@ -428,3 +428,79 @@ def duplicate_ngram_spans(
             .alias("span_words"),
         )
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    *,
+    threshold_pct: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard self-join at ``threshold_pct/100`` via prefix
+    filtering (the AllPairs/PPJoin candidate principle) — the exact
+    counterpart to the approximate MinHash-LSH family: no false
+    negatives, no bands/caps to tune.
+
+    Tokens get a global total order (ascending document frequency,
+    then token); a doc's PREFIX is its ``n − ceil(t·n) + 1`` rarest
+    tokens. If ``J(A,B) ≥ t`` the two prefixes must share a token, so
+    joining prefixes on the token finds every qualifying pair — and
+    because prefix tokens are each doc's RAREST, the join's token
+    buckets stay small by construction (a stopword enters a prefix
+    only for docs made almost entirely of commoner tokens). A length
+    filter (``100·min(n_a,n_b) ≥ t_pct·max``) prunes before the exact
+    verify, which reuses :func:`jaccard_pairs`.
+
+    Shuffles: token df aggregate, doc-size aggregate, the df join on
+    ``token`` (vocab-scale — never broadcast), one per-doc rank
+    window, the prefix self-join, then the pair-scoped verify. Every
+    stage is keyed or pair-scoped; nothing is all-pairs.
+    """
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError("threshold_pct must be in [1, 100]")
+    from pyspark.sql.window import Window
+
+    t = threshold_pct
+    toks = _tokens(docs, id_col, text_col, shingle=shingle).distinct()
+    freq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    ranked = toks.join(freq, "token").join(sizes, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    prefix_len = (
+        F.col("n_tokens")
+        - F.expr(f"({t} * n_tokens + 99) div 100")
+        + F.lit(1)
+    )
+    pref = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= prefix_len)
+        .select("doc_id", "token", "n_tokens")
+    )
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        "token",
+        F.col("n_tokens").alias("n_a"),
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        "token",
+        F.col("n_tokens").alias("n_b"),
+    )
+    cand = (
+        pa.join(pb, "token")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.lit(100) * F.least("n_a", "n_b")
+                >= F.lit(t) * F.greatest("n_a", "n_b")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    scored = jaccard_pairs(docs, cand, id_col, text_col, shingle=shingle)
+    return scored.where(
+        F.lit(100) * F.col("n_inter") >= F.lit(t) * F.col("n_union")
+    )

@@ -218,3 +218,44 @@ def funnel_stages(
         *[F.col(f"t_{s}") for s in steps],
         depth.alias("funnel_depth"),
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    *,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Build an SCD type-2 history (the Delta/Iceberg MERGE-into-dim
+    pattern) from an append-only change log: collapse consecutive
+    identical ``attr`` values per ``key`` into validity intervals
+    ``(key, attr, valid_from, valid_to, is_current)`` with
+    ``valid_to`` = the next interval's ``valid_from`` (NULL while
+    current).
+
+    ``tiebreak`` must make ``(ts, tiebreak)`` a total order within
+    each key (e.g. a unique change id) — with duplicate timestamps in
+    the log the run structure is otherwise engine-dependent.
+
+    Plan shape: two window passes (change detection, interval close),
+    both partitioned by ``key`` — ONE exchange total, no groupBy;
+    state per task is bounded by one key's change rows, the
+    gaps-and-islands shape that holds at any key cardinality.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    marked = df.select(key, attr, ts, tiebreak).withColumn(
+        "_prev", F.lag(attr).over(w)
+    )
+    starts = marked.where(
+        F.col("_prev").isNull() | (F.col(attr) != F.col("_prev"))
+    )
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return starts.select(
+        key,
+        attr,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )

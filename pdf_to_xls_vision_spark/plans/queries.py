@@ -3025,6 +3025,132 @@ FROM probes pr JOIN pest pe USING (token)
 """
 
 
+def q_jaccard_prefix_join(spark, sf_dir):
+    """EXACT 3-gram Jaccard >= 0.8 self-join via prefix filtering
+    (functions/dedup.jaccard_prefix_join — the AllPairs/PPJoin
+    candidate principle): no false negatives, the exact counterpart
+    to the MinHash-LSH family. Candidate buckets are keyed by each
+    doc's RAREST shingles, so the prefix self-join stays small by
+    construction; 3-gram shingles keep the measure discriminative on
+    the synthetic corpus (unigram SETS overlap almost completely)."""
+    from pdf_to_xls_vision_spark.functions.dedup import (
+        jaccard_prefix_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, threshold_pct=80, shingle=3)
+
+
+SQL_JACCARD_PREFIX_JOIN = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 FOR i IN range(1, len(w) - 1)]) AS token
+  FROM words WHERE len(w) >= 3
+),
+freq AS (SELECT token, count(*)::BIGINT AS df FROM toks GROUP BY token),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.token, s.n,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.df, t.token) AS rk
+  FROM toks t JOIN freq f USING (token) JOIN sizes s USING (doc_id)
+),
+pref AS (
+  SELECT doc_id, token, n FROM ranked
+  WHERE rk <= n - ((80 * n + 99) // 100) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE 100 * least(a.n, b.n) >= 80 * greatest(a.n, b.n)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+),
+res AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         (sa.n + sb.n - i.n_inter)::BIGINT AS n_union
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, n_inter, n_union,
+       round(n_inter::DOUBLE / n_union, 6) AS jaccard
+FROM res WHERE 100 * n_inter >= 80 * n_union
+"""
+
+
+def q_scd2_priority_history(spark, sf_dir):
+    """SCD type-2 dimension history (functions/temporal.py
+    scd2_from_changelog) from the orders change log: each customer's
+    o_orderpriority runs collapse into validity intervals with
+    valid_to = next interval's start (NULL while current). Timestamps
+    surface as epoch bigints (the registry's cross-engine timestamp
+    convention); (o_orderdate, o_orderkey) is the total order, so
+    duplicate order dates don't make runs engine-dependent. ONE
+    exchange on custkey (both window passes share it)."""
+    from pdf_to_xls_vision_spark.functions.temporal import (
+        scd2_from_changelog,
+    )
+
+    log = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        _epoch_of("o_orderdate").alias("od_epoch"),
+        "o_orderkey",
+    )
+    return scd2_from_changelog(
+        log,
+        key="o_custkey",
+        attr="o_orderpriority",
+        ts="od_epoch",
+        tiebreak="o_orderkey",
+    ).select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+SQL_SCD2_PRIORITY_HISTORY = """
+WITH log AS (
+  SELECT o_custkey, o_orderpriority,
+         floor(epoch(o_orderdate))::BIGINT AS od_epoch, o_orderkey
+  FROM orders
+),
+marked AS (
+  SELECT o_custkey, o_orderpriority, od_epoch, o_orderkey,
+         lag(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY od_epoch, o_orderkey
+         ) AS prev
+  FROM log
+),
+starts AS (
+  SELECT o_custkey, o_orderpriority, od_epoch, o_orderkey FROM marked
+  WHERE prev IS NULL OR o_orderpriority <> prev
+)
+SELECT o_custkey, o_orderpriority AS priority,
+       od_epoch AS valid_from,
+       lead(od_epoch) OVER (
+         PARTITION BY o_custkey ORDER BY od_epoch, o_orderkey
+       ) AS valid_to,
+       (lead(od_epoch) OVER (
+         PARTITION BY o_custkey ORDER BY od_epoch, o_orderkey
+       ) IS NULL) AS is_current
+FROM starts
+"""
+
+
 def q_pagerank_parts(spark, sf_dir):
     """Fixed-iteration integer PageRank (functions/graph.py) over the
     part co-purchase graph: within each order, DISTINCT
@@ -4233,6 +4359,8 @@ QUERIES = {
     "sketch_countmin_words": q_countmin_words,
     "sketch_kmv_distinct": q_kmv_distinct,
     "graph_pagerank_parts": q_pagerank_parts,
+    "scd2_priority_history": q_scd2_priority_history,
+    "dedup_jaccard_prefix_join": q_jaccard_prefix_join,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_rare_word_stats": q_rare_word_stats,
@@ -4340,6 +4468,8 @@ ORACLES = {
     "sketch_countmin_words": _sql_countmin_words(),
     "sketch_kmv_distinct": _sql_kmv_distinct(),
     "graph_pagerank_parts": _sql_pagerank_parts(),
+    "scd2_priority_history": SQL_SCD2_PRIORITY_HISTORY,
+    "dedup_jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rare_word_stats": SQL_RARE_WORD_STATS,

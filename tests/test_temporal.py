@@ -345,3 +345,69 @@ if HAVE_HYPOTHESIS:
             ]
             expect = min(cands)[1] if cands else None
             assert got[i] == expect, (i, k, e, cands)
+
+
+# ------------------------------------------------------------- SCD2
+
+def _scd2_model(rows):
+    """Independent per-key sequential model: sort, walk, open/close."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, a, ts, tb in rows:
+        by_key[k].append((ts, tb, a))
+    out = []
+    for k, items in by_key.items():
+        items.sort()
+        runs = []
+        for ts, tb, a in items:
+            if not runs or runs[-1][0] != a:
+                runs.append((a, ts))
+        for i, (a, start) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((k, a, start, nxt, nxt is None))
+    return sorted(out, key=_nullsafe)
+
+
+def _nullsafe(t):
+    return tuple((x is None, x) for x in t)
+
+
+def _scd2_spark(spark, rows):
+    from pdf_to_xls_vision_spark.functions.temporal import scd2_from_changelog
+
+    df = spark.createDataFrame(rows, ["k", "attr", "ts", "tb"])
+    got = scd2_from_changelog(df, key="k", attr="attr", ts="ts", tiebreak="tb")
+    return sorted((tuple(r) for r in got.collect()), key=_nullsafe)
+
+
+def test_scd2_matches_model(spark):
+    rows = [
+        (1, "A", 10, 1), (1, "A", 20, 2), (1, "B", 30, 3), (1, "A", 40, 4),
+        (2, "X", 5, 5),
+        (3, "P", 1, 6), (3, "P", 2, 7),
+    ]
+    assert _scd2_spark(spark, rows) == _scd2_model(rows)
+
+
+def test_scd2_duplicate_ts_uses_tiebreak(spark):
+    # same timestamp, attr flips twice: tiebreak decides run structure
+    rows = [(1, "A", 10, 1), (1, "B", 10, 2), (1, "A", 10, 3)]
+    got = _scd2_spark(spark, rows)
+    assert got == _scd2_model(rows)
+    assert len(got) == 3  # three runs, deterministic under (ts, tb)
+
+
+def test_scd2_single_current_row_per_key(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (k, rng.choice("ABC"), rng.randrange(100), i)
+        for i, k in enumerate(rng.choices(range(5), k=200))
+    ]
+    got = _scd2_spark(spark, rows)
+    assert got == _scd2_model(rows)
+    current = [r for r in got if r[4]]
+    assert len(current) == len({r[0] for r in got})  # one per key
+    assert all(r[3] is None for r in current)
