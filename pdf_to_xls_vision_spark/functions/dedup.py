@@ -504,3 +504,41 @@ def jaccard_prefix_join(
     return scored.where(
         F.lit(100) * F.col("n_inter") >= F.lit(t) * F.col("n_union")
     )
+
+
+def normalize_text_expr(col: str | F.Column) -> F.Column:
+    """Canonical text normalization for fuzzy-exact dedup: lowercase,
+    strip everything but ASCII alphanumerics and spaces, collapse
+    whitespace runs, trim. Pure JVM expression chain; the patterns are
+    chosen Java/RE2-identical so a DuckDB oracle (with the 'g' flag)
+    replays byte-for-byte."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(cleaned, " +", " "))
+
+
+def normalized_exact_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup AFTER normalization — catches the
+    casing/punctuation/whitespace near-copies exact_duplicates misses
+    without paying for MinHash. Same scale shape as
+    :func:`exact_duplicates`: ONE hash-aggregate on the 60-bit
+    normalized-content fingerprint (min/count both partial-agg, so a
+    viral copypasta key map-side combines), then one keyed join back
+    to tag each doc with its canonical representative."""
+    tagged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        h60(normalize_text_expr(text_col), "normexact").alias("norm_fp"),
+    )
+    groups = tagged.groupBy("norm_fp").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+    return tagged.join(groups, "norm_fp").select(
+        "doc_id",
+        "norm_fp",
+        "canonical_doc_id",
+        "n_copies",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_kept"),
+    )

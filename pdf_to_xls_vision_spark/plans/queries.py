@@ -3025,6 +3025,169 @@ FROM probes pr JOIN pest pe USING (token)
 """
 
 
+def q_cdc_merge_upsert(spark, sf_dir):
+    """CDC MERGE-INTO (functions/cdc.py): a deterministic change set
+    derived from orders — deletes (key%10==0), two-revision updates
+    (key%10==1, later seq wins), single updates (key%10==2), and
+    inserts at fresh negative keys (key%10==3) — folds into the base
+    snapshot. ONE map-side-combined max_by aggregate collapses the
+    stream per key; ONE full-outer join on the key applies it."""
+    from pdf_to_xls_vision_spark.functions.cdc import cdc_apply
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    ok = F.col("o_orderkey")
+
+    def chg(pred, keyexpr, seq, op, status, prio):
+        return base.where(pred).select(
+            keyexpr.alias("o_orderkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            status.alias("o_orderstatus"),
+            prio.alias("o_orderpriority"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    changes = (
+        chg(ok % 10 == 0, ok, 1, "d", null_s, null_s)
+        .unionByName(
+            chg(ok % 10 == 1, ok, 1, "u", F.lit("X"),
+                F.col("o_orderpriority"))
+        )
+        .unionByName(
+            chg(ok % 10 == 1, ok, 2, "u", F.lit("Z"), F.lit("0-REVISED"))
+        )
+        .unionByName(
+            chg(ok % 10 == 2, ok, 1, "u", F.lit("P"),
+                F.col("o_orderpriority"))
+        )
+        .unionByName(
+            chg(ok % 10 == 3, -ok, 1, "u", F.lit("N"), F.lit("9-NEW"))
+        )
+    )
+    return cdc_apply(
+        base,
+        changes,
+        key="o_orderkey",
+        seq="seq",
+        payload_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+SQL_CDC_MERGE_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+),
+changes AS (
+  SELECT o_orderkey, 1 AS seq, 'd' AS op,
+         NULL::VARCHAR AS s, NULL::VARCHAR AS p
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL SELECT o_orderkey, 1, 'u', 'X', o_orderpriority
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL SELECT o_orderkey, 2, 'u', 'Z', '0-REVISED'
+  FROM base WHERE o_orderkey % 10 = 1
+  UNION ALL SELECT o_orderkey, 1, 'u', 'P', o_orderpriority
+  FROM base WHERE o_orderkey % 10 = 2
+  UNION ALL SELECT -o_orderkey, 1, 'u', 'N', '9-NEW'
+  FROM base WHERE o_orderkey % 10 = 3
+),
+last AS (
+  SELECT o_orderkey, max_by(op, seq) AS _op,
+         max_by(s, seq) AS _s, max_by(p, seq) AS _p
+  FROM changes GROUP BY o_orderkey
+)
+SELECT coalesce(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+       CASE WHEN l._op = 'u' THEN l._s
+            ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN l._op = 'u' THEN l._p
+            ELSE b.o_orderpriority END AS o_orderpriority
+FROM base b FULL OUTER JOIN last l ON b.o_orderkey = l.o_orderkey
+WHERE l._op IS NULL OR l._op = 'u'
+"""
+
+
+def q_dedup_normalized(spark, sf_dir):
+    """Fuzzy-exact dedup (functions/dedup.normalized_exact_duplicates):
+    exact dedup on the NORMALIZED text fingerprint (lowercase, strip
+    punctuation, collapse whitespace). The raw corpus has no
+    case/punct variants, so the query unions deterministic
+    upper-cased and punctuation-padded copies at offset doc_ids (the
+    PII-scrub precedent for live signal) — every original doc becomes
+    a 3-copy group with itself as canonical."""
+    from pdf_to_xls_vision_spark.functions.dedup import (
+        normalized_exact_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" !!")).alias("text"),
+        )
+    )
+    return normalized_exact_duplicates(docs.unionByName(variants))
+
+
+def _sql_dedup_normalized() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    )
+    fp = h60_sql(norm, "normexact")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
+  UNION ALL SELECT doc_id + 2000000, text || ' !!' FROM documents
+),
+tagged AS (SELECT doc_id, {fp} AS norm_fp FROM corpus),
+groups AS (
+  SELECT norm_fp, count(*)::BIGINT AS n_copies,
+         min(doc_id) AS canonical_doc_id
+  FROM tagged GROUP BY norm_fp
+)
+SELECT t.doc_id, t.norm_fp, g.canonical_doc_id, g.n_copies,
+       (t.doc_id = g.canonical_doc_id) AS is_kept
+FROM tagged t JOIN groups g USING (norm_fp)
+"""
+
+
+def q_profile_key_skew(spark, sf_dir):
+    """Key-skew diagnostic: the 20 hottest event user_ids with exact
+    counts and integer ppm share of total — the report a pipeline
+    owner reads before deciding to salt a join. One map-side-combined
+    aggregate, a one-row broadcast total, and a TakeOrderedAndProject
+    top-k (never a global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div total").cast("long").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+SQL_PROFILE_KEY_SKEW = """
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id
+),
+total AS (SELECT sum(cnt)::BIGINT AS total FROM counts)
+SELECT user_id, cnt, (cnt * 1000000 // total)::BIGINT AS share_ppm
+FROM counts, total
+ORDER BY cnt DESC, user_id LIMIT 20
+"""
+
+
 def q_jaccard_prefix_join(spark, sf_dir):
     """EXACT 3-gram Jaccard >= 0.8 self-join via prefix filtering
     (functions/dedup.jaccard_prefix_join — the AllPairs/PPJoin
@@ -4361,6 +4524,9 @@ QUERIES = {
     "graph_pagerank_parts": q_pagerank_parts,
     "scd2_priority_history": q_scd2_priority_history,
     "dedup_jaccard_prefix_join": q_jaccard_prefix_join,
+    "cdc_merge_upsert": q_cdc_merge_upsert,
+    "dedup_normalized_exact": q_dedup_normalized,
+    "profile_key_skew": q_profile_key_skew,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_rare_word_stats": q_rare_word_stats,
@@ -4470,6 +4636,9 @@ ORACLES = {
     "graph_pagerank_parts": _sql_pagerank_parts(),
     "scd2_priority_history": SQL_SCD2_PRIORITY_HISTORY,
     "dedup_jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,
+    "cdc_merge_upsert": SQL_CDC_MERGE_UPSERT,
+    "dedup_normalized_exact": _sql_dedup_normalized(),
+    "profile_key_skew": SQL_PROFILE_KEY_SKEW,
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rare_word_stats": SQL_RARE_WORD_STATS,
