@@ -73,6 +73,9 @@ HEADLINE = [
     "text_lm_score",
     "curation_temperature_mix",
     "layout_zorder_keys",
+    "graph_pagerank_parts",
+    "dedup_jaccard_prefix_join",
+    "cdc_merge_upsert",
     "profile_events_stats",
 ]
 

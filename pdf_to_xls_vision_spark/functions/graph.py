@@ -44,6 +44,7 @@ def pagerank_fixed(
     scale: int = PR_SCALE,
     src: str = "src",
     dst: str = "dst",
+    persisted_sink: list | None = None,
 ) -> DataFrame:
     """Integer PageRank over a distinct-edge DataFrame; returns
     ``(node, pr_scaled)`` for every node that appears as a src or dst.
@@ -51,6 +52,17 @@ def pagerank_fixed(
     ``iters`` is a plan-unroll count (each adds one join + one
     aggregate to the lineage), matching the unrolled-CTE oracle replay
     the same way the k-means oracles replay Lloyd rounds.
+
+    The edge+outdeg and node relations are referenced by EVERY
+    iteration; without materialization their derivation re-executes
+    per lineage path (AQE exchange reuse recovers only the identical-
+    exchange subtrees). At deployment scale do what GraphX does —
+    cache the per-iteration constants: pass ``persisted_sink`` (the
+    repo's leak-guard pattern, ``operators/pipeline.py``) and both
+    relations are persisted MEMORY_AND_DISK and appended for the
+    caller to unpersist after materializing. Registered toy-scale
+    queries skip it (recompute of a 6k-row derivation is cheaper than
+    cross-rep cache leakage in the bench loop).
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -61,11 +73,18 @@ def pagerank_fixed(
         .unionAll(edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    n_nodes = nodes.count()  # one scalar — driver metadata
-    if n_nodes == 0:
-        raise ValueError("edge set is empty")
     outdeg = edges.groupBy(src).agg(F.count("*").cast("long").alias("deg"))
     ed = edges.select(src, dst).join(outdeg, src)
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        ed = ed.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.extend([ed, nodes])
+    n_nodes = nodes.count()  # one scalar — driver metadata (fills the
+    # nodes cache when persisted)
+    if n_nodes == 0:
+        raise ValueError("edge set is empty")
     base = (100 - damping_pct) * scale // (100 * n_nodes)
     ranks = nodes.select(
         "node", F.lit(scale // n_nodes).cast("long").alias("r")

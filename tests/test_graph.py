@@ -77,3 +77,16 @@ def test_pagerank_rejects_bad_args(spark):
         pagerank_fixed(df, damping_pct=100)
     with pytest.raises(ValueError):
         pagerank_fixed(df.where("src < 0"))
+
+
+def test_pagerank_persisted_sink_same_results(spark):
+    df = spark.createDataFrame(DIAMOND, ["src", "dst"])
+    sink = []
+    got = {
+        row["node"]: row["pr_scaled"]
+        for row in pagerank_fixed(df, persisted_sink=sink).collect()
+    }
+    assert got == _model(DIAMOND)
+    assert len(sink) == 2 and all(d.is_cached for d in sink)
+    for d in sink:
+        d.unpersist()
