@@ -74,8 +74,12 @@ HEADLINE = [
     "curation_temperature_mix",
     "layout_zorder_keys",
     "graph_pagerank_parts",
+    "graph_triangle_parts",
     "dedup_jaccard_prefix_join",
+    "dedup_corpus_lines",
     "cdc_merge_upsert",
+    "events_retention_cohorts",
+    "join_bloom_prefilter",
     "profile_events_stats",
 ]
 

@@ -968,3 +968,78 @@ def topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nbr_id", "qdot")
     )
+
+
+def embedding_outliers(
+    embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+    *,
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Per-group embedding outliers — the SemDeDup/CLIP-filtering
+    complement: instead of removing near-DUPLICATES, surface the k
+    vectors FARTHEST from their group centroid (mislabeled / noisy /
+    off-distribution candidates a curation pass reviews or drops).
+
+    Everything is integer-exact on the quantized vectors so the DuckDB
+    oracle replays bit-for-bit: with group size ``n`` and elementwise
+    sums ``s_i``, the score is the count-scaled squared distance
+
+        dist2n(v) = sum_i (q_i * n - s_i)^2   (= n^2 * ||q - mean||^2)
+
+    — no division, no float. Magnitudes: |q_i| <= ~1000, n bounded by
+    group size, so each term is < 2^62 at any realistic group size
+    (the centroid sums are bigint-exact regardless of corpus size).
+
+    Plan: ONE map-side-combined aggregate per group (count + ``dim``
+    elementwise sums), centroids joined back on the group key
+    (group-count rows — broadcastable by construction, like k-means
+    centroids), score map-only via zip_with/aggregate HOFs, then the
+    exact two-phase salted top-k (functions/relational.topk_per_group)
+    so a giant group never funnels one reducer.
+    """
+    from pdf_to_xls_vision_spark.functions.relational import topk_per_group
+
+    q = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(group_col).alias("grp"),
+        _qvec(F.col(vec_col)).alias("qv"),
+    )
+    cent = q.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.array(
+            *[
+                F.sum(F.element_at("qv", i + 1)).cast("long")
+                for i in range(dim)
+            ]
+        ).alias("s"),
+    )
+    scored = q.join(F.broadcast(cent), "grp").select(
+        "vec_id",
+        "grp",
+        "n",
+        F.aggregate(
+            F.zip_with("qv", "s", lambda a, b: (a * F.col("n") - b) * (a * F.col("n") - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dist2n"),
+    )
+    return (
+        topk_per_group(
+            scored,
+            group_cols=["grp"],
+            order_col="dist2n",
+            k=k,
+            descending=True,
+            tiebreak_col="vec_id",
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rk").cast("long").alias("rank"),
+            "vec_id",
+            "dist2n",
+        )
+    )

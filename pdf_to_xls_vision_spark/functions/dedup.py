@@ -542,3 +542,85 @@ def normalized_exact_duplicates(
         "n_copies",
         (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_kept"),
     )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    line_words: int = 5,
+    min_total: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicate-LINE removal (the RefinedWeb / MassiveText
+    line-dedup pass): a line occurring ``>= min_total`` times across
+    ``>= min_docs`` distinct documents is boilerplate (nav bars, cookie
+    banners, license footers) and is removed from EVERY document.
+    Differs from ``dedup_paragraph_chunks`` (first-writer-wins keeps
+    one canonical copy): boilerplate has no canonical owner, so all
+    occurrences go.
+
+    The corpus here carries no newlines, so a "line" is each aligned
+    ``line_words``-word window — the construction is map-only (split +
+    ``transform(sequence(...))`` HOFs, no UDF) and identical in the
+    DuckDB oracle.
+
+    Returns ``(doc_id, clean_text, n_lines, n_removed)`` with
+    ``clean_text`` the surviving lines re-joined in order (equal to the
+    original text when nothing was removed).
+
+    Scale shape: ONE posexplode to line rows; the occurrence count is a
+    single hash-aggregate on the portable 60-bit line hash (count and
+    distinct-doc count both partial-aggregate, so a corpus-hot line
+    map-side combines instead of flooding one reducer); removal is a
+    left-anti shuffle join on the hash (the duplicate-line set at
+    10^12 docs is far beyond broadcast); reassembly regroups by doc_id.
+    No driver-side data, nothing quadratic.
+    """
+    if line_words < 1:
+        raise ValueError("line_words must be >= 1")
+    lw = line_words
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("words"),
+    ).withColumn("n_lines", F.expr(f"(size(words) + {lw - 1}) div {lw}"))
+    lines_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("n_lines") - 1),
+        lambda i: F.concat_ws(" ", F.slice("words", i * lw + 1, lw)),
+    )
+    hashed = base.select(
+        "doc_id", F.posexplode(lines_arr).alias("pos", "line")
+    ).withColumn("h", h60("line", "linededup"))
+    dup = (
+        hashed.groupBy("h")
+        .agg(
+            F.count("*").alias("total"),
+            F.count_distinct("doc_id").alias("ndocs"),
+        )
+        .where((F.col("total") >= min_total) & (F.col("ndocs") >= min_docs))
+        .select("h")
+    )
+    kept = hashed.join(dup, "h", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", "n_lines")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -194,3 +194,81 @@ def corpus_media_refs(docs: DataFrame) -> DataFrame:
         .select(F.col("s.media_ref").alias("media_ref"))
         .distinct()
     )
+
+
+PHASH_SCHEMA = "media_ref string, phash long"
+
+
+def ahash_bits(img: np.ndarray) -> int:
+    """64-bit average-hash of a grayscale raster, integer-exact: the
+    image is cropped to the largest 8x8-divisible window, and bit i is
+    set iff ``64 * block_sum_i > total_sum`` (cross-multiplied — no
+    float mean, so the signature is bit-identical in any replay).
+    Bit order: row-major blocks, bit 0 = top-left, little-endian."""
+    h, w = img.shape
+    bh, bw = (h // 8) * 8, (w // 8) * 8
+    if bh == 0 or bw == 0:
+        return 0
+    a = img[:bh, :bw].astype(np.int64)
+    blocks = a.reshape(8, bh // 8, 8, bw // 8).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    bits = (blocks * 64 > total).ravel()
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    # two's-complement wrap so the signature fits a signed int64 column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_media(
+    media: DataFrame,
+    ref_col: str = "media_ref",
+    decoder: MediaDecoder | None = None,
+) -> DataFrame:
+    """Perceptual (average) hash per media ref: decode -> 64-bit
+    integer aHash signature. Same mapInPandas shape as
+    :func:`media_features` — one decode per distinct ref, Arrow
+    batches bound Python memory; the signature computation is the
+    integer-exact :func:`ahash_bits`."""
+    decoder = decoder or MediaDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for ref in b[ref_col]:
+                img = decoder.decode(ref)
+                rows.append(
+                    {"media_ref": ref, "phash": ahash_bits(img)}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select(ref_col).distinct().mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_dedup(
+    media: DataFrame,
+    ref_col: str = "media_ref",
+    decoder: MediaDecoder | None = None,
+) -> DataFrame:
+    """Image near-dup dedup by identical perceptual hash — the
+    multimodal sibling of exact text dedup (visually-flat or
+    re-encoded duplicates collapse to one signature even when their
+    bytes differ). Returns ``(media_ref, phash, cluster_size,
+    canonical_ref, is_canonical)`` with the minimum ref canonical
+    (same convention as exact_duplicates). One hash aggregate on the
+    64-bit signature after the map-only hash stage — the scale shape
+    of exact dedup; banded Hamming-near matching would follow the
+    SimHash pattern if a looser match is ever needed."""
+    hashed = phash_media(media, ref_col, decoder)
+    clusters = hashed.groupBy("phash").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.min("media_ref").alias("canonical_ref"),
+    )
+    return hashed.join(clusters, "phash").select(
+        "media_ref",
+        "phash",
+        "cluster_size",
+        "canonical_ref",
+        (F.col("media_ref") == F.col("canonical_ref")).alias("is_canonical"),
+    )

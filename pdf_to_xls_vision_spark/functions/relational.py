@@ -69,3 +69,71 @@ def topk_per_group(
         survivors.withColumn(rank_col, F.row_number().over(w_final))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def bloom_prefilter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_bits: int = 4032,
+    k: int = 3,
+    salt: str = "bloomjoin",
+    how: str = "inner",
+) -> DataFrame:
+    """Inner/semi join of ``fact`` to ``dim`` on ``key`` with an
+    explicit Bloom-filter pre-filter on the fact side — the pattern
+    behind Spark's runtime row-level bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), built here
+    from the repo's verified portable bloom (functions/sketches.py) so
+    the pruning structure itself is deterministic and testable.
+
+    Result is EXACTLY the plain join: the bloom has no false
+    negatives, and false positives only survive the pre-filter to be
+    dropped by the real join — so the DuckDB oracle is the join itself.
+
+    When it pays: dim is too big to broadcast as rows (so the join
+    must shuffle BOTH sides) but its bloom fits in memory — n_bits of
+    filter summarize any number of dim keys. The fact side then sheds
+    non-matching rows BEFORE its shuffle, cutting exchange volume by
+    the non-match fraction. At toy scale Spark would broadcast dim
+    anyway; the operator exists for the 10^12-row fact / 10^8-row dim
+    regime.
+
+    The built filter words are collected to the driver (``<= n_bits/63``
+    longs — metadata by the repo's rule, same as k-means centroids)
+    and attached as a one-row broadcast relation, not a plan literal
+    (large literals force a codegen pass per plan — the round-4
+    large-codebook lesson).
+    """
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+    from pdf_to_xls_vision_spark.functions.sketches import bloom_words
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError("bloom_prefilter_join supports inner/left_semi")
+    words = bloom_words(
+        dim.select(key).distinct(), F.col(key), n_bits=n_bits, k=k, salt=salt
+    )
+    sparse = {int(r["word_idx"]): int(r["word"]) for r in words.collect()}
+    dense = [sparse.get(i, 0) for i in range(n_bits // 63)]
+    arr_df = fact.sparkSession.createDataFrame(
+        [(dense,)], "_bloom_arr: array<bigint>"
+    )
+    pre = fact.crossJoin(F.broadcast(arr_df))
+    tests = []
+    for i in range(k):
+        pos = F.pmod(h60(F.col(key), f"{salt}{i}"), F.lit(n_bits))
+        pre = pre.withColumn(f"_bpos{i}", pos)
+        tests.append(
+            F.expr(
+                f"(element_at(_bloom_arr, cast(_bpos{i} div 63 as int) + 1)"
+                f" & shiftleft(1L, cast(_bpos{i} % 63 as int))) != 0"
+            )
+        )
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    filtered = pre.where(cond).drop(
+        "_bloom_arr", *[f"_bpos{i}" for i in range(k)]
+    )
+    return filtered.join(dim, on=key, how=how)

@@ -4432,6 +4432,30 @@ SELECT media_ref, width, height, mean_ink, ink_bands,
 FROM read_parquet('{_EXPECTED}/multimodal_media_features.parquet')
 """
 
+
+def q_media_phash_dedup(spark, sf_dir):
+    """Image near-dup dedup by 64-bit perceptual average-hash
+    (functions/multimodal.phash_dedup): decode via the loud stub seam,
+    integer-exact aHash (bit i = 64*block_sum_i > total_sum — no float
+    mean), then the exact-dedup scale shape (one hash aggregate on the
+    signature + join-back). Structurally-similar page rasters collapse
+    into clusters (55 refs -> 5 clusters on the corpus). Oracle:
+    expected parquet from the sequential loop-based re-derivation
+    (scripts/gen_expected.py gen_phash_dedup — explicit block loops +
+    dict clustering vs the engine's numpy reshape kernel)."""
+    from pdf_to_xls_vision_spark.functions.multimodal import (
+        corpus_media_refs,
+        phash_dedup,
+    )
+
+    return phash_dedup(corpus_media_refs(_corpus_df(spark)))
+
+
+SQL_MEDIA_PHASH_DEDUP = f"""
+SELECT media_ref, phash, cluster_size, canonical_ref, is_canonical
+FROM read_parquet('{_EXPECTED}/multimodal_phash_dedup.parquet')
+"""
+
 SQL_MEDIA_RESIZE = f"""
 SELECT media_ref, src_width, src_height, width, height, scale, mean_ink
 FROM read_parquet('{_EXPECTED}/multimodal_resize.parquet')
@@ -4463,6 +4487,345 @@ SQL_BPE_TOKEN_IDS = f"""
 SELECT doc_id, pos, token_id
 FROM read_parquet('{_EXPECTED}/text_bpe_token_ids.parquet')
 WHERE corpus_sig = {_SIG}
+"""
+
+
+# ---------------------------------------------------------------------------
+# tenth-session additions: corpus line dedup, triangle counting,
+# cohort retention, bloom-prefiltered join
+# ---------------------------------------------------------------------------
+
+def q_corpus_lines(spark, sf_dir):
+    """RefinedWeb/MassiveText-style corpus-level duplicate-LINE
+    removal (functions/dedup.corpus_line_dedup): a 5-word aligned line
+    occurring >= 3 times across >= 2 docs is boilerplate and is removed
+    from EVERY document (no canonical owner — unlike the
+    first-writer-wins dedup_paragraph_chunks). Line construction is
+    map-only HOFs; the occurrence count is ONE partial-agg hash
+    aggregate on the portable line hash; removal is a left-anti
+    shuffle join on the hash (the duplicate-line set at 10^12 docs is
+    beyond broadcast)."""
+    from pdf_to_xls_vision_spark.functions.dedup import corpus_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_line_dedup(docs, line_words=5, min_total=3, min_docs=2)
+
+
+SQL_CORPUS_LINES = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+base AS (SELECT doc_id, words, (len(words) + 4) // 5 AS n_lines FROM w),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i*5+1):(i*5+5)], ' ') AS line
+  FROM base, unnest(range(n_lines)) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, pos, line, {h60_sql("line", "linededup")} AS h FROM lines
+),
+dup AS (
+  SELECT h FROM hashed GROUP BY h
+  HAVING count(*) >= 3 AND count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM dup)),
+agg AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       b.n_lines::BIGINT AS n_lines,
+       (b.n_lines - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_triangle_parts(spark, sf_dir):
+    """Per-part triangle counts over the co-purchase graph
+    (functions/graph.triangle_counts, degree-ordered orientation so
+    wedge fan-out is bounded O(sqrt(2m)) per node — no celebrity-key
+    quadratic blowup). Edges = part pairs bought together in >= 2
+    orders (the support filter is the market-basket semantics AND
+    what keeps the toy graph's triangle set meaningful); the
+    within-order pair self-join fans out <= 13 items/order, bounded
+    by the order size cap. The oriented relation is probed three
+    times; the registered query takes the lineage recompute (AQE
+    exchange reuse recovers identical subtrees at runtime, and a
+    3k-edge re-derivation is cheaper than cross-rep cache leakage in
+    the bench loop) — at deployment scale callers pass
+    triangle_counts(persisted_sink=...) and it is computed once."""
+    from pdf_to_xls_vision_spark.functions.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    tup = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = tup.join(
+        tup.select("l_orderkey", F.col("l_partkey").alias("p2")),
+        "l_orderkey",
+    ).where(F.col("l_partkey") < F.col("p2"))
+    edges = (
+        pairs.groupBy(
+            F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part_id"), "n_triangles"
+    )
+
+
+def _sql_triangle_parts() -> str:
+    from pdf_to_xls_vision_spark.functions.graph import triangle_counts_sql
+
+    body = triangle_counts_sql("edges")
+    return f"""
+WITH tup AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM tup a JOIN tup b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT src, dst FROM pairs GROUP BY src, dst HAVING count(*) >= 2
+),
+{body}
+SELECT node AS part_id, n_triangles FROM tri_counts
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention — the canonical product-analytics rollup:
+    users bucketed by first-activity epoch-day, then distinct active
+    users and event volume per (cohort_day, days_since). All keys are
+    integer epoch-day numbers (epoch div 86400 — no date formatting
+    to diverge across engines; day granularity keeps the rollup
+    discriminative on the 30-day fixture where every user is
+    first-active in week 0). Plan: first-touch aggregate on user_id,
+    join back on user_id (same key — the exchange is reusable), one
+    final aggregate; the distinct count is two-phase so a power user
+    never funnels one reducer."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", _epoch_of("ts").alias("epoch"))
+        .select("user_id", F.expr("epoch div 86400").alias("day"))
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("days_since"),
+        )
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day FROM events
+),
+f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+SELECT f.cohort_day, e.day - f.cohort_day AS days_since,
+       count(DISTINCT e.user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events
+FROM e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_bloom_prefilter_join(spark, sf_dir):
+    """Bloom-prefiltered key join
+    (functions/relational.bloom_prefilter_join): lineitem rows shed
+    non-urgent orders BEFORE any shuffle via a probe against the
+    verified portable bloom of the urgent-order key set (4032 bits
+    summarize the dim side whatever its row count — the regime where
+    dim rows exceed the broadcast threshold but the bloom doesn't).
+    No false negatives, so the result — and the oracle — is exactly
+    the plain join; quantities sum as integers."""
+    from pdf_to_xls_vision_spark.functions.relational import (
+        bloom_prefilter_join,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    joined = bloom_prefilter_join(li, urgent, "l_orderkey")
+    return joined.groupBy(
+        F.col("l_orderkey").alias("o_orderkey")
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+
+
+SQL_BLOOM_PREFILTER_JOIN = """
+SELECT o_orderkey, count(*)::BIGINT AS n_lines,
+       sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderkey
+"""
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers (functions/ann.embedding_outliers
+    — the SemDeDup-complement curation pass): top-5 vectors FARTHEST
+    from their group centroid by the integer count-scaled squared
+    distance dist2n = sum_i (q_i*n - s_i)^2 (no division, no float —
+    bit-identical to the oracle). One map-side-combined aggregate per
+    group, broadcast centroid join-back, map-only HOF scoring,
+    two-phase salted top-k."""
+    from pdf_to_xls_vision_spark.functions.ann import embedding_outliers
+
+    embs = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(embs, k=5, dim=64)
+
+
+def _sql_embedding_outliers() -> str:
+    sums = ", ".join(f"sum(qv[{i}])::BIGINT" for i in range(1, 65))
+    return f"""
+WITH q AS (
+  SELECT vec_id, label,
+         [floor(CAST(x AS DOUBLE) * 1000)::BIGINT FOR x IN embedding] AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT label, count(*)::BIGINT AS n, [{sums}] AS s
+  FROM q GROUP BY label
+),
+scored AS (
+  SELECT q.vec_id, q.label,
+         list_sum(list_transform(range(1, 65),
+                  i -> (qv[i] * n - s[i]) * (qv[i] * n - s[i])))::BIGINT
+           AS dist2n
+  FROM q JOIN cent USING (label)
+)
+SELECT label,
+       row_number() OVER (PARTITION BY label
+                          ORDER BY dist2n DESC, vec_id)::BIGINT AS rank,
+       vec_id, dist2n
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_type_transitions(spark, sf_dir):
+    """Event-type transition matrix — the Markov-chain view of user
+    journeys: per user, consecutive event pairs under the total order
+    (ts, event_id), counted per (from_type, to_type) with an integer
+    ppm share of the from-type's outgoing total. One user_id window
+    pass + one cell aggregate; the row total is a window over the
+    aggregated cells (n_types rows per from_type — never a hot key),
+    NOT a self-join, so the cells subtree is derived once."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cells = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("long").alias("n_transitions"))
+    )
+    wt = Window.partitionBy("from_type")
+    return cells.withColumn(
+        "row_total", F.sum("n_transitions").over(wt)
+    ).select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000 div row_total")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+SQL_TYPE_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+totals AS (
+  SELECT from_type, sum(n_transitions)::BIGINT AS row_total
+  FROM cells GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n_transitions,
+       (c.n_transitions * 1000000 // t.row_total)::BIGINT AS share_ppm
+FROM cells c JOIN totals t USING (from_type)
+"""
+
+
+def q_graph_components(spark, sf_dir):
+    """Connected components of the co-purchase graph (support >= 3)
+    via the generic large-star/small-star operator
+    (functions/cluster.connected_components — the same O(log n)-round
+    kernel behind dedup_clusters, registered here over an arbitrary
+    graph input): (part_id, component-min-id, component size). The
+    support-3 graph exercises both regimes — one dense 189-node
+    component at sf0.001 (multi-round convergence) and 56 small
+    components at sf0.01."""
+    from pdf_to_xls_vision_spark.functions.cluster import (
+        connected_components,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    tup = li.select("l_orderkey", "l_partkey").distinct()
+    pairs = (
+        tup.join(
+            tup.select("l_orderkey", F.col("l_partkey").alias("p2")),
+            "l_orderkey",
+        )
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("doc_a"), F.col("p2").alias("doc_b"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("comp_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("part_id"), "component", "comp_size"
+    )
+
+
+SQL_GRAPH_COMPONENTS = """
+WITH RECURSIVE tup AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cand AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM tup a JOIN tup b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+edges AS (SELECT u, v FROM cand UNION SELECT v, u FROM cand),
+reach(node, label) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+sizes AS (
+  SELECT component, count(*)::BIGINT AS comp_size FROM comp GROUP BY 1
+)
+SELECT c.node AS part_id, c.component, s.comp_size
+FROM comp c JOIN sizes s USING (component)
 """
 
 
@@ -4527,6 +4890,13 @@ QUERIES = {
     "cdc_merge_upsert": q_cdc_merge_upsert,
     "dedup_normalized_exact": q_dedup_normalized,
     "profile_key_skew": q_profile_key_skew,
+    "dedup_corpus_lines": q_corpus_lines,
+    "graph_triangle_parts": q_triangle_parts,
+    "events_retention_cohorts": q_retention_cohorts,
+    "join_bloom_prefilter": q_bloom_prefilter_join,
+    "ann_embedding_outliers": q_embedding_outliers,
+    "events_type_transitions": q_type_transitions,
+    "graph_components_parts": q_graph_components,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_rare_word_stats": q_rare_word_stats,
@@ -4572,6 +4942,7 @@ QUERIES = {
     "extraction_spans": q_extraction_spans,
     "extraction_metrics": q_extraction_metrics,
     "multimodal_media_features": q_media_features,
+    "multimodal_phash_dedup": q_media_phash_dedup,
     "multimodal_resize": q_media_resize,
     "multimodal_frame_sample": q_media_frame_sample,
     "text_winnow_fingerprints": q_winnow_fingerprints,
@@ -4639,6 +5010,13 @@ ORACLES = {
     "cdc_merge_upsert": SQL_CDC_MERGE_UPSERT,
     "dedup_normalized_exact": _sql_dedup_normalized(),
     "profile_key_skew": SQL_PROFILE_KEY_SKEW,
+    "dedup_corpus_lines": SQL_CORPUS_LINES,
+    "graph_triangle_parts": _sql_triangle_parts(),
+    "events_retention_cohorts": SQL_RETENTION_COHORTS,
+    "join_bloom_prefilter": SQL_BLOOM_PREFILTER_JOIN,
+    "ann_embedding_outliers": _sql_embedding_outliers(),
+    "events_type_transitions": SQL_TYPE_TRANSITIONS,
+    "graph_components_parts": SQL_GRAPH_COMPONENTS,
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rare_word_stats": SQL_RARE_WORD_STATS,
@@ -4678,6 +5056,7 @@ ORACLES = {
     "extraction_spans": SQL_EXTRACTION_SPANS,
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "multimodal_media_features": SQL_MEDIA_FEATURES,
+    "multimodal_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
     "multimodal_resize": SQL_MEDIA_RESIZE,
     "multimodal_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "text_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,

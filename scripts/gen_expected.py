@@ -415,9 +415,74 @@ def gen_extraction_metrics() -> None:
     )
 
 
+def gen_phash_dedup() -> None:
+    """Sequential replay of the perceptual-hash dedup, with the aHash
+    computed by explicit Python block loops (the engine kernel uses a
+    numpy reshape-sum) — a mild re-derivation of the bit definition
+    ``64 * block_sum > total_sum`` plus an independent dict-based
+    clustering."""
+    from pdf_to_xls_vision_spark.core.vision import stub_pixels
+
+    refs = _corpus_media_refs()
+    sigs = {}
+    for ref in refs:
+        img, _ = stub_pixels(ref)
+        h, w = img.shape
+        bh, bw = (h // 8) * 8, (w // 8) * 8
+        sh, sw = bh // 8, bw // 8
+        total = 0
+        sums = []
+        for by in range(8):
+            for bx in range(8):
+                s = 0
+                for y in range(by * sh, (by + 1) * sh):
+                    for x in range(bx * sw, (bx + 1) * sw):
+                        s += int(img[y, x])
+                sums.append(s)
+                total += s
+        out = 0
+        for i, s in enumerate(sums):
+            if 64 * s > total:
+                out |= 1 << i
+        if out >= (1 << 63):
+            out -= 1 << 64
+        sigs[ref] = out
+    clusters = {}
+    for ref, sig in sigs.items():
+        clusters.setdefault(sig, []).append(ref)
+    cols = {k: [] for k in (
+        "media_ref", "phash", "cluster_size", "canonical_ref",
+        "is_canonical",
+    )}
+    for ref in refs:
+        sig = sigs[ref]
+        members = clusters[sig]
+        canon = min(members)
+        cols["media_ref"].append(ref)
+        cols["phash"].append(sig)
+        cols["cluster_size"].append(len(members))
+        cols["canonical_ref"].append(canon)
+        cols["is_canonical"].append(ref == canon)
+    _write(
+        "multimodal_phash_dedup",
+        pa.table(cols).cast(
+            pa.schema(
+                [
+                    ("media_ref", pa.string()),
+                    ("phash", pa.int64()),
+                    ("cluster_size", pa.int64()),
+                    ("canonical_ref", pa.string()),
+                    ("is_canonical", pa.bool_()),
+                ]
+            )
+        ),
+    )
+
+
 def main() -> None:
     gen_extraction_spans()
     gen_multimodal()
+    gen_phash_dedup()
     gen_winnow()
     gen_html_main_content()
     gen_bpe_merge_tokens()

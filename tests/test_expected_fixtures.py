@@ -26,6 +26,7 @@ def _gen():
         ("extraction_spans", "gen_extraction_spans"),
         ("extraction_metrics", "gen_extraction_metrics"),
         ("multimodal_media_features", "gen_multimodal"),
+        ("multimodal_phash_dedup", "gen_phash_dedup"),
         ("text_winnow_fingerprints", "gen_winnow"),
         ("html_main_content", "gen_html_main_content"),
         ("text_bpe_merge_tokens", "gen_bpe_merge_tokens"),

@@ -90,3 +90,66 @@ def test_pagerank_persisted_sink_same_results(spark):
     assert len(sink) == 2 and all(d.is_cached for d in sink)
     for d in sink:
         d.unpersist()
+
+
+# --------------------------------------------------------------------------
+# triangle_counts vs a brute-force combinations model
+# --------------------------------------------------------------------------
+
+from itertools import combinations
+
+from pdf_to_xls_vision_spark.functions.graph import triangle_counts
+
+
+def _tri_model(edges):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in es for n in e})
+    counts = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= es:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def _spark_tri(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        row["node"]: row["n_triangles"]
+        for row in triangle_counts(df).collect()
+    }
+
+
+TRIANGLE = [(1, 2), (2, 3), (1, 3)]
+SQUARE = [(1, 2), (2, 3), (3, 4), (4, 1)]
+BOWTIE = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (3, 5)]
+K4 = [(a, b) for a, b in combinations(range(4), 2)]
+
+
+@pytest.mark.parametrize("edges", [TRIANGLE, SQUARE, BOWTIE, K4])
+def test_triangles_match_brute_model(spark, edges):
+    assert _spark_tri(spark, edges) == _tri_model(edges)
+
+
+def test_triangles_canonicalize_input(spark):
+    # reversed duplicates and self-loops must not change the count
+    messy = TRIANGLE + [(2, 1), (3, 3), (1, 2)]
+    assert _spark_tri(spark, messy) == _tri_model(TRIANGLE)
+
+
+def test_triangles_skewed_hub(spark):
+    # hub node in every triangle; orientation keeps counts exact
+    edges = [(0, i) for i in range(1, 8)] + [(i, i + 1) for i in range(1, 7)]
+    assert _spark_tri(spark, edges) == _tri_model(edges)
+
+
+def test_triangles_persisted_sink_same_results(spark):
+    df = spark.createDataFrame(K4, ["src", "dst"])
+    sink = []
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, persisted_sink=sink).collect()
+    }
+    assert got == _tri_model(K4)
+    assert len(sink) == 1 and sink[0].is_cached
+    sink[0].unpersist()

@@ -216,3 +216,71 @@ def test_kmv_rejects_bad_k(spark):
 
     with pytest.raises(ValueError):
         kmv_sketch(_ids(spark, 10), F.col("v"), k=0)
+
+
+# --------------------------------------------------------------------------
+# bloom_prefilter_join: identical result to the plain join; the
+# pre-filter really sheds non-matching fact rows before the join
+# --------------------------------------------------------------------------
+
+def test_bloom_prefilter_join_equals_plain_join(spark):
+    from pdf_to_xls_vision_spark.functions.relational import (
+        bloom_prefilter_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(i % 50, i) for i in range(400)], ["key", "payload"]
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 50, 7)], ["key", "attr"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in bloom_prefilter_join(fact, dim, "key").collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, "key").collect())
+    assert got == want and got  # non-vacuous
+
+
+def test_bloom_prefilter_sheds_rows_before_join(spark):
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+    from pdf_to_xls_vision_spark.functions.sketches import bloom_words
+    from pyspark.sql import functions as F
+
+    n_bits, k = 4032, 3
+    fact = spark.createDataFrame([(i,) for i in range(2000)], ["key"])
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 100)], ["key"])
+    words = bloom_words(dim, F.col("key"), n_bits=n_bits, k=k, salt="bloomjoin")
+    sparse = {int(r["word_idx"]): int(r["word"]) for r in words.collect()}
+    dense = [sparse.get(i, 0) for i in range(n_bits // 63)]
+    arr = spark.createDataFrame([(dense,)], "_bloom_arr: array<bigint>")
+    pre = fact.crossJoin(F.broadcast(arr))
+    cond = None
+    for i in range(k):
+        pre = pre.withColumn(
+            f"_bpos{i}", F.pmod(h60(F.col("key"), f"bloomjoin{i}"), F.lit(n_bits))
+        )
+        t = F.expr(
+            f"(element_at(_bloom_arr, cast(_bpos{i} div 63 as int) + 1)"
+            f" & shiftleft(1L, cast(_bpos{i} % 63 as int))) != 0"
+        )
+        cond = t if cond is None else cond & t
+    survivors = pre.where(cond).count()
+    # 20 true keys of 2000; the pre-filter must remove the bulk of the
+    # 1980 non-matching rows (fpp at 4032 bits / 20 keys is tiny)
+    assert survivors < 100 and survivors >= 20
+
+
+def test_bloom_prefilter_join_semi_and_validation(spark):
+    from pdf_to_xls_vision_spark.functions.relational import (
+        bloom_prefilter_join,
+    )
+
+    fact = spark.createDataFrame([(i, i) for i in range(40)], ["key", "p"])
+    dim = spark.createDataFrame([(i, 0) for i in range(0, 40, 5)], ["key", "a"])
+    semi = bloom_prefilter_join(fact, dim, "key", how="left_semi")
+    assert sorted(r["key"] for r in semi.collect()) == list(range(0, 40, 5))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bloom_prefilter_join(fact, dim, "key", how="left")

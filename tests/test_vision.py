@@ -150,3 +150,24 @@ def test_resize_media_and_frame_sampling(spark, tiny_corpus_path):
         assert 0 <= f.frame_idx < f.n_frames
         assert 8 <= f.n_frames <= 24
         assert f.width > 0 and f.height > 0
+
+
+def test_ahash_bits_integer_exact():
+    import numpy as np
+
+    from pdf_to_xls_vision_spark.functions.multimodal import ahash_bits
+
+    # flat raster: no block strictly above the mean -> all-zero hash
+    assert ahash_bits(np.full((32, 32), 40, dtype=np.uint8)) == 0
+    # bottom-right block hot: bit 63 set -> two's-complement negative
+    img = np.zeros((32, 32), dtype=np.uint8)
+    img[28:, 28:] = 255
+    h = ahash_bits(img)
+    assert h < 0 and (h + (1 << 64)) >> 63 == 1
+    # top-left block hot: bit 0 only
+    img2 = np.zeros((32, 32), dtype=np.uint8)
+    img2[:4, :4] = 255
+    assert ahash_bits(img2) == 1
+    # non-divisible shapes crop, tiny images degrade to 0 cleanly
+    assert isinstance(ahash_bits(np.ones((33, 31), dtype=np.uint8)), int)
+    assert ahash_bits(np.ones((4, 4), dtype=np.uint8)) == 0
