@@ -80,6 +80,10 @@ HEADLINE = [
     "cdc_merge_upsert",
     "events_retention_cohorts",
     "join_bloom_prefilter",
+    "join_salted_skew",
+    "ann_embedding_outliers",
+    "graph_components_parts",
+    "dedup_source_overlap",
     "profile_events_stats",
 ]
 

@@ -624,3 +624,75 @@ def corpus_line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def pairwise_set_similarity(
+    items: DataFrame,
+    set_col: str = "set_id",
+    item_col: str = "item",
+) -> DataFrame:
+    """Exact pairwise Jaccard similarity between up to 63 sets sharing
+    one item universe — the cross-corpus overlap diagnostic (how much
+    duplicate mass two crawl snapshots / sources share) that decides
+    which source pairs need a cross-dedup pass at all.
+
+    Set ids MUST be integers in [0, 63) (they become bits of an int64
+    membership mask; at more sets, run per-pair semi-joins instead —
+    this operator's win is that pair count never touches item count).
+
+    Scale shape: ONE hash aggregate per item builds the membership
+    mask (bit_or partial-aggregates, so a universal item map-side
+    combines); masks collapse to (mask, count) cells — at most
+    2^n_sets but in practice tiny; per-pair intersections come from a
+    map-only bit-PAIR explode of those cells (a k-bit mask emits
+    k(k-1)/2 rows, bounded by the SET count, never the item count);
+    per-set sizes come from a direct distinct count on the input so
+    the expensive mask aggregate sits on exactly one lineage path;
+    unions by inclusion-exclusion. Integer ppm Jaccard —
+    bit-identical in the DuckDB replay. Pairs sharing no item are
+    absent from the output (their Jaccard is 0). Duplicate
+    (set, item) input rows are absorbed (bit_or / count_distinct), so
+    callers need not pre-dedup.
+    """
+    masks = items.groupBy(item_col).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, cast({set_col} as int))")
+        ).alias("mask")
+    )
+    cells = masks.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
+    bits = "filter(sequence(0, 62), b -> (mask & shiftleft(1L, b)) != 0)"
+    # sizes come from a direct per-set distinct count on the INPUT —
+    # a scan-level subtree, so the expensive per-item mask aggregate
+    # sits on exactly one lineage path (the intersections') instead of
+    # being re-derived for each of the three consumers
+    sizes = items.groupBy(F.col(set_col).alias("set_id")).agg(
+        F.count_distinct(item_col).cast("long").alias("size")
+    )
+    pair_expr = (
+        f"flatten(transform({bits}, i -> "
+        f"transform(filter({bits}, b -> b > i), j -> struct(i, j))))"
+    )
+    inter = (
+        cells.select(F.explode(F.expr(pair_expr)).alias("p"), "cnt")
+        .groupBy(F.col("p.i").alias("set_a"), F.col("p.j").alias("set_b"))
+        .agg(F.sum("cnt").cast("long").alias("inter_items"))
+    )
+    sa = sizes.select(F.col("set_id").alias("set_a"), F.col("size").alias("sz_a"))
+    sb = sizes.select(F.col("set_id").alias("set_b"), F.col("size").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "set_a")
+        .join(F.broadcast(sb), "set_b")
+        .select(
+            "set_a",
+            "set_b",
+            "inter_items",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter_items"))
+            .cast("long")
+            .alias("union_items"),
+            F.expr(
+                "inter_items * 1000000 div (sz_a + sz_b - inter_items)"
+            )
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )

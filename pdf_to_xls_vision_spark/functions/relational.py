@@ -137,3 +137,47 @@ def bloom_prefilter_join(
         "_bloom_arr", *[f"_bpos{i}" for i in range(k)]
     )
     return filtered.join(dim, on=key, how=how)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join: every fact key — hot or not — is spread
+    across ``n_salt`` reducers by salting the join key, with the dim
+    side replicated ``n_salt``x so every (key, salt) shard still finds
+    its match. Result is EXACTLY the plain join (salting only changes
+    row placement), so the oracle is the join itself.
+
+    When to reach for it: a shuffled join whose fact side has celebrity
+    keys. AQE's skew-join splitting solves this at runtime for
+    sort-merge joins; the explicit form is deterministic, auditable in
+    the static plan, and applies to shuffled-hash joins too. Cost: the
+    dim side ships ``n_salt`` copies — use it when dim is far smaller
+    than the hot-key row mass (else broadcast the dim and no salt is
+    needed at all).
+
+    The fact salt is content-derived (xxhash64 over the whole row, mod
+    ``n_salt``) — deterministic across retries/replays, no
+    monotonically_increasing_id nondeterminism; duplicate rows co-lying
+    on one salt is harmless (they would co-lie under any per-key
+    scheme that keeps replay determinism).
+    """
+    if n_salt < 1:
+        raise ValueError("n_salt must be >= 1")
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left")
+    fact_s = fact.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)
+        ).cast("int"),
+    )
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return fact_s.join(dim_s, on=[key, "_salt"], how=how).drop("_salt")

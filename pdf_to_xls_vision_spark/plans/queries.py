@@ -4804,6 +4804,106 @@ def q_graph_components(spark, sf_dir):
     )
 
 
+def q_salted_skew(spark, sf_dir):
+    """Skew-salted shuffled join (functions/relational.salted_join):
+    events (celebrity user_ids — see profile_key_skew) joined to the
+    customer dim on user_id with every key pre-split across 8 salted
+    reducers, dim replicated 8x. Salting only moves rows between
+    reducers, so the result — and the oracle — is exactly the plain
+    join, rolled up per (segment, event_type) with integer counts."""
+    from pdf_to_xls_vision_spark.functions.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_type"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, "c_custkey", n_salt=8)
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("c_custkey").cast("long").alias("n_users"),
+    )
+
+
+SQL_SALTED_SKEW = """
+SELECT c_mktsegment, event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT c_custkey)::BIGINT AS n_users
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source corpus overlap matrix
+    (functions/dedup.pairwise_set_similarity): exact pairwise Jaccard
+    between the 20 sources' 3-gram shingle sets — the diagnostic that
+    decides which source pairs carry enough shared mass to warrant a
+    cross-dedup pass (crawl-snapshot overlap analysis). One membership
+    -mask aggregate over distinct (source, shingle) rows; pair count
+    never touches item count (bit explodes of the mask cells)."""
+    from pdf_to_xls_vision_spark.functions.dedup import (
+        pairwise_set_similarity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    toks = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # no .distinct() here: bit_or and count_distinct both absorb
+    # duplicate (set, item) rows, so the items subtree stays map-only
+    # (it sits on three lineage paths — see the operator docstring)
+    items = docs.select(
+        F.substring("source", 4, 10).cast("int").alias("set_id"),
+        F.explode(toks).alias("tok"),
+    ).select("set_id", h60("tok", "srcov").alias("item"))
+    sim = pairwise_set_similarity(items)
+    return sim.select(
+        F.concat(F.lit("src"), F.col("set_a")).alias("source_a"),
+        F.concat(F.lit("src"), F.col("set_b")).alias("source_b"),
+        "inter_items",
+        "union_items",
+        "jaccard_ppm",
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH w AS (
+  SELECT CAST(substr(source, 4) AS INT) AS sid,
+         str_split(text, ' ') AS wds
+  FROM documents
+),
+toks AS (
+  SELECT DISTINCT sid,
+         unnest([wds[i] || ' ' || wds[i+1] || ' ' || wds[i+2]
+                 FOR i IN range(1, len(wds) - 1)]) AS tok
+  FROM w WHERE len(wds) >= 3
+),
+items AS (SELECT DISTINCT sid, {h60_sql("tok", "srcov")} AS item FROM toks),
+masks AS (SELECT item, bit_or(1::BIGINT << sid) AS mask FROM items GROUP BY item),
+cells AS (SELECT mask, count(*)::BIGINT AS cnt FROM masks GROUP BY mask),
+bits AS (
+  SELECT mask, cnt, b FROM cells, range(0, 63) t(b)
+  WHERE (mask & (1::BIGINT << b)) != 0
+),
+sizes AS (SELECT b, sum(cnt)::BIGINT AS size FROM bits GROUP BY b),
+inter AS (
+  SELECT b1.b AS sa, b2.b AS sb, sum(b1.cnt)::BIGINT AS inter_items
+  FROM bits b1 JOIN bits b2 ON b1.mask = b2.mask AND b1.b < b2.b
+  GROUP BY 1, 2
+)
+SELECT 'src' || sa::VARCHAR AS source_a, 'src' || sb::VARCHAR AS source_b,
+       inter_items,
+       (s1.size + s2.size - inter_items)::BIGINT AS union_items,
+       (inter_items * 1000000 // (s1.size + s2.size - inter_items))::BIGINT
+         AS jaccard_ppm
+FROM inter JOIN sizes s1 ON sa = s1.b JOIN sizes s2 ON sb = s2.b
+"""
+
+
 SQL_GRAPH_COMPONENTS = """
 WITH RECURSIVE tup AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -4897,6 +4997,8 @@ QUERIES = {
     "ann_embedding_outliers": q_embedding_outliers,
     "events_type_transitions": q_type_transitions,
     "graph_components_parts": q_graph_components,
+    "join_salted_skew": q_salted_skew,
+    "dedup_source_overlap": q_source_overlap,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_rare_word_stats": q_rare_word_stats,
@@ -5017,6 +5119,8 @@ ORACLES = {
     "ann_embedding_outliers": _sql_embedding_outliers(),
     "events_type_transitions": SQL_TYPE_TRANSITIONS,
     "graph_components_parts": SQL_GRAPH_COMPONENTS,
+    "join_salted_skew": SQL_SALTED_SKEW,
+    "dedup_source_overlap": SQL_SOURCE_OVERLAP,
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rare_word_stats": SQL_RARE_WORD_STATS,
