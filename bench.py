@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_embedding_outliers",
     "graph_components_parts",
     "dedup_source_overlap",
+    "window_sliding_24h",
     "profile_events_stats",
 ]
 

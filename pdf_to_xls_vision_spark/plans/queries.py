@@ -4804,6 +4804,102 @@ def q_graph_components(spark, sf_dir):
     )
 
 
+def q_sliding_window(spark, sf_dir):
+    """Time-RANGE sliding window — the frame family the registry's
+    other windows don't cover (they are ROWS/segment windows): per
+    event, the trailing-24h sum and count of the user's activity via
+    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW over epoch seconds.
+    RANGE frames include ALL peer rows at equal order values, so ties
+    in epoch are deterministic without a tiebreak column. Values sum
+    as integer millis (the registry's float-exactness rule). One
+    shuffle on user_id; frame state is bounded by the window span, not
+    the partition size."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _epoch_of("ts").alias("epoch"),
+        F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-86400, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "epoch",
+        F.sum("value_milli").over(w).cast("long").alias("sum_milli_24h"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_events_24h"),
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH e AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS epoch,
+         floor(value * 1000)::BIGINT AS value_milli
+  FROM events
+)
+SELECT user_id, event_id, epoch,
+       sum(value_milli) OVER w::BIGINT AS sum_milli_24h,
+       count(*) OVER w::BIGINT AS n_events_24h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch
+             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP over the region -> nation hierarchy (the partial
+    grouping-sets lattice CUBE doesn't exercise: subtotals only along
+    the hierarchy, no nation-without-region cell). Revenue in exact
+    integer cents; same grouping_id bit convention as agg_pricing_cube
+    (first column = most significant bit, verified empirically)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "gid",
+            "revenue_cents",
+            "n_orders",
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       grouping_id(r_name, n_name) AS gid,
+       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
 def q_salted_skew(spark, sf_dir):
     """Skew-salted shuffled join (functions/relational.salted_join):
     events (celebrity user_ids — see profile_key_skew) joined to the
@@ -4999,6 +5095,8 @@ QUERIES = {
     "graph_components_parts": q_graph_components,
     "join_salted_skew": q_salted_skew,
     "dedup_source_overlap": q_source_overlap,
+    "window_sliding_24h": q_sliding_window,
+    "agg_rollup_revenue": q_rollup_revenue,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_rare_word_stats": q_rare_word_stats,
@@ -5121,6 +5219,8 @@ ORACLES = {
     "graph_components_parts": SQL_GRAPH_COMPONENTS,
     "join_salted_skew": SQL_SALTED_SKEW,
     "dedup_source_overlap": SQL_SOURCE_OVERLAP,
+    "window_sliding_24h": SQL_SLIDING_WINDOW,
+    "agg_rollup_revenue": SQL_ROLLUP_REVENUE,
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rare_word_stats": SQL_RARE_WORD_STATS,
