@@ -272,3 +272,88 @@ def phash_dedup(
         "canonical_ref",
         (F.col("media_ref") == F.col("canonical_ref")).alias("is_canonical"),
     )
+
+
+def phash_near_dups(
+    media: DataFrame,
+    ref_col: str = "media_ref",
+    decoder: MediaDecoder | None = None,
+    *,
+    max_hamming: int = 7,
+    bands: int = 8,
+) -> DataFrame:
+    """COMPLETE image near-dup pairs by perceptual-hash Hamming
+    distance: every ref pair whose 64-bit aHash signatures differ in
+    at most ``max_hamming`` bits, found without an all-pairs join.
+
+    Completeness is the pigeonhole guarantee (same principle as the
+    prefix-filter Jaccard join): the signature splits into ``bands``
+    equal bit-bands, and two signatures differing in fewer than
+    ``bands`` bits must agree EXACTLY on at least one band — so a
+    band-key equi-join finds every qualifying pair, and the exact
+    ``bit_count(xor)`` filter removes band-colliding far pairs. The
+    constructor enforces ``max_hamming < bands``.
+
+    Scale shape: banding runs over DISTINCT signatures (the band join
+    scales with signature diversity, not corpus size — boilerplate
+    images collapse first); equal-signature ref pairs (Hamming 0) are
+    emitted from the exact clusters directly. At 10^12 refs an exact
+    cluster of boilerplate images makes pair output itself quadratic —
+    production reports those via :func:`phash_dedup` clusters and runs
+    this operator on the canonical signatures only; the registered
+    toy-scale query emits ref pairs for oracle comparability.
+
+    Returns ``(ref_a, ref_b, hamming)`` with ``ref_a < ref_b``.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError("requires 0 <= max_hamming < bands (pigeonhole)")
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = phash_media(media, ref_col, decoder)
+    distinct_sigs = sigs.select("phash").distinct()
+    banded = distinct_sigs.select(
+        "phash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"r -> (phash >> (r * {width})) & {mask}L)"
+            )
+        ).alias("band", "key"),
+    )
+    other = banded.select(
+        F.col("phash").alias("pb"),
+        "band",
+        "key",
+    )
+    sig_pairs = (
+        banded.join(other, ["band", "key"])
+        .where(F.col("phash") < F.col("pb"))
+        .select(F.col("phash").alias("pa"), "pb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("pa ^ pb")).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    ra = sigs.select(F.col("phash").alias("pa"), F.col("media_ref").alias("ra"))
+    rb = sigs.select(F.col("phash").alias("pb"), F.col("media_ref").alias("rb"))
+    cross = sig_pairs.join(ra, "pa").join(rb, "pb").select(
+        F.least("ra", "rb").alias("ref_a"),
+        F.greatest("ra", "rb").alias("ref_b"),
+        "hamming",
+    )
+    same = (
+        sigs.join(
+            sigs.select(
+                F.col("phash"), F.col("media_ref").alias("rb")
+            ),
+            "phash",
+        )
+        .where(F.col("media_ref") < F.col("rb"))
+        .select(
+            F.col("media_ref").alias("ref_a"),
+            F.col("rb").alias("ref_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)

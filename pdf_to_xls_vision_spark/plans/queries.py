@@ -4456,6 +4456,40 @@ SELECT media_ref, phash, cluster_size, canonical_ref, is_canonical
 FROM read_parquet('{_EXPECTED}/multimodal_phash_dedup.parquet')
 """
 
+
+def q_media_phash_near_dups(spark, sf_dir):
+    """Banded Hamming search over the perceptual hashes
+    (functions/multimodal.phash_near_dups): COMPLETE pair set at
+    Hamming <= 27 with 32 bands (pigeonhole: < 32 diff bits =>
+    at least one clean 2-bit band). 27/32 here is fixture geometry,
+    not near-dup semantics: the corpus signature clusters sit 24-27
+    bits apart, so this setting keeps the banded cross-signature path
+    live in the oracle comparison (10 cross pairs + 490 exact pairs);
+    production near-dup filtering runs the default 8 bands /
+    <= 7 bits, whose adversarial cases (exactly-7-bit pairs,
+    one-diff-per-band spread) are pytest-covered with a crafted
+    decoder. Oracle: brute-force all-pairs XOR popcount over the
+    committed signature fixture — fully independent of the banding.
+    """
+    from pdf_to_xls_vision_spark.functions.multimodal import (
+        corpus_media_refs,
+        phash_near_dups,
+    )
+
+    return phash_near_dups(
+        corpus_media_refs(_corpus_df(spark)), max_hamming=27, bands=32
+    )
+
+
+SQL_MEDIA_PHASH_NEAR_DUPS = f"""
+SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+FROM read_parquet('{_EXPECTED}/multimodal_phash_dedup.parquet') a
+JOIN read_parquet('{_EXPECTED}/multimodal_phash_dedup.parquet') b
+  ON a.media_ref < b.media_ref
+WHERE bit_count(xor(a.phash, b.phash)) <= 27
+"""
+
 SQL_MEDIA_RESIZE = f"""
 SELECT media_ref, src_width, src_height, width, height, scale, mean_ink
 FROM read_parquet('{_EXPECTED}/multimodal_resize.parquet')
@@ -5143,6 +5177,7 @@ QUERIES = {
     "extraction_metrics": q_extraction_metrics,
     "multimodal_media_features": q_media_features,
     "multimodal_phash_dedup": q_media_phash_dedup,
+    "multimodal_phash_near_dups": q_media_phash_near_dups,
     "multimodal_resize": q_media_resize,
     "multimodal_frame_sample": q_media_frame_sample,
     "text_winnow_fingerprints": q_winnow_fingerprints,
@@ -5261,6 +5296,7 @@ ORACLES = {
     "extraction_metrics": SQL_EXTRACTION_METRICS,
     "multimodal_media_features": SQL_MEDIA_FEATURES,
     "multimodal_phash_dedup": SQL_MEDIA_PHASH_DEDUP,
+    "multimodal_phash_near_dups": SQL_MEDIA_PHASH_NEAR_DUPS,
     "multimodal_resize": SQL_MEDIA_RESIZE,
     "multimodal_frame_sample": SQL_MEDIA_FRAME_SAMPLE,
     "text_winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,

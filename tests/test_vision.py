@@ -171,3 +171,68 @@ def test_ahash_bits_integer_exact():
     # non-divisible shapes crop, tiny images degrade to 0 cleanly
     assert isinstance(ahash_bits(np.ones((33, 31), dtype=np.uint8)), int)
     assert ahash_bits(np.ones((4, 4), dtype=np.uint8)) == 0
+
+
+def _crafted_decoder(specs):
+    """Test decoder: ref -> raster whose aHash bits are exactly the
+    listed 4x4 blocks (k bright blocks of 64: 64*block_sum > total
+    iff the block is bright, for k < 64). Defined as a LOCAL class so
+    cloudpickle ships it by value to executors (a module-level class
+    from a test module is shipped by reference and fails to import)."""
+
+    class Crafted:
+        def decode(self, media_ref):
+            import numpy as np
+
+            img = np.zeros((32, 32), dtype=np.uint8)
+            for b in specs[media_ref]:
+                by, bx = divmod(b, 8)
+                img[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = 255
+            return img
+
+    return Crafted()
+
+
+def test_phash_near_dups_complete_and_exact(spark):
+    from pdf_to_xls_vision_spark.functions.multimodal import phash_near_dups
+
+    specs = {
+        "A": set(range(10)),          # bits 0-9
+        "B": {0, 1, 2},               # vs A: hamming 7 -> pair
+        "C": {8, 9},                  # vs A: hamming 8 -> NO pair
+        "D": set(range(10)),          # identical to A -> hamming 0
+        # 7 diff bits spread one per band 0..6, band 7 shared:
+        "F1": {56},
+        "F2": {56, 0, 8, 16, 24, 32, 40, 48},
+    }
+    sig = {r: sum(1 << b for b in bs) for r, bs in specs.items()}
+    want = set()
+    refs = sorted(specs)
+    for i, a in enumerate(refs):
+        for b in refs[i + 1 :]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 7:
+                want.add((a, b, h))
+    media = spark.createDataFrame([(r,) for r in refs], ["media_ref"])
+    got = {
+        (r["ref_a"], r["ref_b"], r["hamming"])
+        for r in phash_near_dups(
+            media, decoder=_crafted_decoder(specs)
+        ).collect()
+    }
+    assert got == want
+    assert ("A", "B", 7) in got and ("A", "D", 0) in got
+    assert ("F1", "F2", 7) in got
+    assert not any(a == "A" and b == "C" for a, b, _ in got)
+
+
+def test_phash_near_dups_validation(spark):
+    from pdf_to_xls_vision_spark.functions.multimodal import phash_near_dups
+
+    media = spark.createDataFrame([("x",)], ["media_ref"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_near_dups(media, max_hamming=8, bands=8)
+    with _pytest.raises(ValueError):
+        phash_near_dups(media, max_hamming=2, bands=7)
