@@ -85,6 +85,7 @@ HEADLINE = [
     "graph_components_parts",
     "dedup_source_overlap",
     "window_sliding_24h",
+    "events_user_rfm",
     "profile_events_stats",
 ]
 

@@ -286,3 +286,37 @@ def kmv_estimate_row(
         "kth_hash",
         F.round(est, 6).alias("estimate"),
     )
+
+
+def hll_registers_grouped(
+    df: DataFrame,
+    group_col: str,
+    col: str | Column,
+    *,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HLL register tables in ONE aggregate:
+    ``(group, bucket, register)`` for non-empty buckets. The grouped
+    sketches union-merge by elementwise register max — so a rollup
+    (per-language -> corpus) never rescans the data, the property that
+    makes HLL the distributed-cube cardinality structure. Shuffle
+    carries at most ``groups x m`` register rows."""
+    if not 2 <= p <= 10:
+        raise ValueError("p must be in [2, 10]")
+    rem_bits = _HASH_BITS - p
+    h = h60(col, salt)
+    bucket = F.shiftright(h, rem_bits)
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rank = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        rem_bits - F.length(F.bin(rem)) + 1
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rank").cast("long").alias("register"))
+    )

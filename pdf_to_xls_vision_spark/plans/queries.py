@@ -4934,6 +4934,183 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_hll_by_lang(spark, sf_dir):
+    """Grouped HLL rollup (functions/sketches.hll_registers_grouped):
+    per-language register tables from ONE aggregate, plus the corpus
+    'ALL' sketch produced by MERGING the per-language sketches
+    (elementwise register max — no rescan). The oracle computes the
+    'ALL' registers DIRECTLY from the data, so a value-hash match is a
+    cross-engine proof of the union-merge property
+    (merge(per-group) == sketch(union)), not just an engine-side
+    pytest claim."""
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        hll_registers_grouped,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    regs = hll_registers_grouped(docs, "lang", F.col("text"), p=6)
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+        .select(F.lit("ALL").alias("lang"), "bucket", "register")
+    )
+    return regs.select(
+        F.col("grp").alias("lang"), "bucket", "register"
+    ).unionByName(merged)
+
+
+def _sql_hll_by_lang() -> str:
+    h = h60_sql("text", "hll")
+    rem_bits = 54
+    mask = (1 << rem_bits) - 1
+    reg = (
+        f"max(CASE WHEN (h & {mask}) = 0 THEN {rem_bits + 1} "
+        f"ELSE {rem_bits} - length(bin(h & {mask})) + 1 END)::BIGINT"
+    )
+    return f"""
+WITH hashes AS (SELECT lang, {h} AS h FROM documents)
+SELECT lang, h >> {rem_bits} AS bucket, {reg} AS register
+FROM hashes GROUP BY lang, bucket
+UNION ALL
+SELECT 'ALL' AS lang, h >> {rem_bits} AS bucket, {reg} AS register
+FROM hashes GROUP BY bucket
+"""
+
+
+def q_user_rfm(spark, sf_dir):
+    """RFM segmentation — the classic customer-analytics triple:
+    per-user Recency (days between the user's last event and the
+    corpus max day), Frequency (event count), Monetary (integer milli
+    value sum), each scored 1-5 against broadcast quintile BOUNDARIES
+    (percentile_disc picks actual data values — integer-exact;
+    r_score counts boundaries the recency beats downward, f/m upward,
+    so 5 = best under the usual RFM reading). Deliberately NOT
+    ntile(5): a global rank window is a one-reducer sort over every
+    user — the boundary form is one metadata-row aggregate plus a
+    map-only application, the shape that survives 10^9 users. Tie
+    semantics: equal metric values share a score (quantile binning),
+    which is what a segmentation consumer wants anyway. The user-level
+    aggregate sits on several lineage paths (boundaries, corpus max,
+    application) and statically re-derives per path — AQE exchange
+    reuse recovers the identical subtrees at runtime; a deployment
+    caching the per_user relation follows the repo's persisted_sink
+    pattern."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            _epoch_of("ts").alias("epoch"),
+            F.floor(F.col("value") * 1000).cast("long").alias("value_milli"),
+        )
+        .select(
+            "user_id", F.expr("epoch div 86400").alias("day"), "value_milli"
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max("day").alias("last_day"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum("value_milli").cast("long").alias("monetary_milli"),
+    )
+    corpus_max = per_user.agg(F.max("last_day").alias("max_day"))
+    scored = per_user.crossJoin(F.broadcast(corpus_max)).select(
+        "user_id",
+        (F.col("max_day") - F.col("last_day"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_milli",
+    )
+    pcts = [0.2, 0.4, 0.6, 0.8]
+    bounds = scored.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m[0]}b{i}")
+            for m in ("recency_days", "frequency", "monetary_milli")
+            for i, p in enumerate(pcts)
+        ]
+    )
+    out = scored.crossJoin(F.broadcast(bounds))
+    r_sc = sum(
+        (F.col("recency_days") < F.col(f"rb{i}")).cast("long")
+        for i in range(4)
+    ) + F.lit(1)
+    f_sc = sum(
+        (F.col("frequency") > F.col(f"fb{i}")).cast("long") for i in range(4)
+    ) + F.lit(1)
+    m_sc = sum(
+        (F.col("monetary_milli") > F.col(f"mb{i}")).cast("long")
+        for i in range(4)
+    ) + F.lit(1)
+    return out.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_milli",
+        r_sc.cast("long").alias("r_score"),
+        f_sc.cast("long").alias("f_score"),
+        m_sc.cast("long").alias("m_score"),
+    )
+
+
+# the oracle spells out the ANSI percentile_disc definition (smallest
+# value with cume_dist >= p) the same way SQL_ORDER_PERCENTILES does,
+# so no engine-specific quantile convention is trusted
+SQL_USER_RFM = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day,
+         floor(value * 1000)::BIGINT AS value_milli
+  FROM events
+),
+per_user AS (
+  SELECT user_id, max(day) AS last_day, count(*)::BIGINT AS frequency,
+         sum(value_milli)::BIGINT AS monetary_milli
+  FROM e GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         ((SELECT max(last_day) FROM per_user) - last_day)::BIGINT
+           AS recency_days,
+         frequency, monetary_milli
+  FROM per_user
+),
+cd AS (
+  SELECT recency_days, frequency, monetary_milli,
+         cume_dist() OVER (ORDER BY recency_days) AS cd_r,
+         cume_dist() OVER (ORDER BY frequency) AS cd_f,
+         cume_dist() OVER (ORDER BY monetary_milli) AS cd_m
+  FROM scored
+),
+b AS (
+  SELECT
+    min(recency_days) FILTER (cd_r >= 0.2) AS rb0,
+    min(recency_days) FILTER (cd_r >= 0.4) AS rb1,
+    min(recency_days) FILTER (cd_r >= 0.6) AS rb2,
+    min(recency_days) FILTER (cd_r >= 0.8) AS rb3,
+    min(frequency) FILTER (cd_f >= 0.2) AS fb0,
+    min(frequency) FILTER (cd_f >= 0.4) AS fb1,
+    min(frequency) FILTER (cd_f >= 0.6) AS fb2,
+    min(frequency) FILTER (cd_f >= 0.8) AS fb3,
+    min(monetary_milli) FILTER (cd_m >= 0.2) AS mb0,
+    min(monetary_milli) FILTER (cd_m >= 0.4) AS mb1,
+    min(monetary_milli) FILTER (cd_m >= 0.6) AS mb2,
+    min(monetary_milli) FILTER (cd_m >= 0.8) AS mb3
+  FROM cd
+)
+SELECT user_id, recency_days, frequency, monetary_milli,
+       (1 + (recency_days < rb0)::INT + (recency_days < rb1)::INT
+          + (recency_days < rb2)::INT + (recency_days < rb3)::INT)::BIGINT
+         AS r_score,
+       (1 + (frequency > fb0)::INT + (frequency > fb1)::INT
+          + (frequency > fb2)::INT + (frequency > fb3)::INT)::BIGINT
+         AS f_score,
+       (1 + (monetary_milli > mb0)::INT + (monetary_milli > mb1)::INT
+          + (monetary_milli > mb2)::INT + (monetary_milli > mb3)::INT)::BIGINT
+         AS m_score
+FROM scored, b
+"""
+
+
 def q_salted_skew(spark, sf_dir):
     """Skew-salted shuffled join (functions/relational.salted_join):
     events (celebrity user_ids — see profile_key_skew) joined to the
@@ -5131,6 +5308,8 @@ QUERIES = {
     "dedup_source_overlap": q_source_overlap,
     "window_sliding_24h": q_sliding_window,
     "agg_rollup_revenue": q_rollup_revenue,
+    "sketch_hll_by_lang": q_hll_by_lang,
+    "events_user_rfm": q_user_rfm,
     "curation_decontaminate": q_decontaminate,
     "text_fingerprint": q_fingerprint,
     "text_rare_word_stats": q_rare_word_stats,
@@ -5256,6 +5435,8 @@ ORACLES = {
     "dedup_source_overlap": SQL_SOURCE_OVERLAP,
     "window_sliding_24h": SQL_SLIDING_WINDOW,
     "agg_rollup_revenue": SQL_ROLLUP_REVENUE,
+    "sketch_hll_by_lang": _sql_hll_by_lang(),
+    "events_user_rfm": SQL_USER_RFM,
     "curation_decontaminate": _sql_decontaminate(),
     "text_fingerprint": SQL_FINGERPRINT,
     "text_rare_word_stats": SQL_RARE_WORD_STATS,

@@ -284,3 +284,31 @@ def test_bloom_prefilter_join_semi_and_validation(spark):
 
     with _pytest.raises(ValueError):
         bloom_prefilter_join(fact, dim, "key", how="left")
+
+
+def test_hll_grouped_registers_merge_to_global(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        hll_registers,
+        hll_registers_grouped,
+    )
+
+    rows = [(f"g{i % 3}", f"item-{i % 40}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    grouped = hll_registers_grouped(df, "grp", F.col("val"), p=4)
+    merged = {
+        (r["bucket"], r["register"])
+        for r in grouped.groupBy("bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+        .collect()
+    }
+    direct = {
+        (r["bucket"], r["register"])
+        for r in hll_registers(df, F.col("val"), p=4).collect()
+    }
+    assert merged == direct and merged
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_registers_grouped(df, "grp", F.col("val"), p=1)
