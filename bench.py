@@ -250,7 +250,24 @@ def main() -> None:
 
     for name in HEADLINE:
         _log(f"query {name}")
-        w, e = _run_best(QUERIES[name](spark, SF_DIR))
+        probe = QUERIES[name](spark, SF_DIR)
+        probe_sink = getattr(probe, "_ptxv_persisted", None)
+        if probe_sink is None:
+            w, e = _run_best(probe)
+        else:
+            # plans that persist internally (graphs' iteration
+            # constants, the jaccard-prefix token/prefix relations):
+            # rebuild per rep and unpersist after, so each measured
+            # run pays the real compute-once-probe-many cost and
+            # nothing leaks across queries (extraction thunk pattern)
+            for c in probe_sink:
+                c.unpersist(blocking=True)
+
+            def _q_thunk(nm=name):
+                d = QUERIES[nm](spark, SF_DIR)
+                return d, list(getattr(d, "_ptxv_persisted", []))
+
+            w, e = _run_best(_q_thunk)
         timings[name] = round(w, 3)
         exec_secs[name] = round(e, 3) if e is not None else None
 
@@ -462,46 +479,78 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "headline wall time: extraction pipeline "
-                    f"({BENCH_DOCS} skewed docs) + {len(HEADLINE)} "
-                    f"relational/dedup/ANN queries, local[{CPUS}]"
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # executor-run-time (sum over tasks, min across reps):
-                # the contention-immune figure to triage regressions
-                # on this 2-3x-wall-noisy shared VM
-                "queries_executor_sec": exec_secs,
-                "sf": sf_val,
-                "docs_per_sec": round(BENCH_DOCS / t_ext, 2),
-                "bench_docs": BENCH_DOCS,
-                "ivf_kmeans_recall_at_5": recall,
-                "ivf_balanced_recall_at_5_blobs": blob_recall,
-                "ivf_probe_aware": probe_aware,
-                "dedup_yield": dedup_yield,
-                "streaming_ingest_docs_per_sec": round(
-                    stream_docs / t_stream, 2
-                ),
-                "streaming_ingest_docs": stream_docs,
-                # docs/sec vs micro-batch size (maxFilesPerTrigger over
-                # an 8-file input): separates per-batch fixed cost from
-                # per-doc cost; filesN with N=8 is the amortized limit
-                "streaming_ingest_curve": stream_curve,
-                **big,
-                # protocol tag so cross-round deltas are compared
-                # like-for-like: r01/r02 ran bestof2 with NO warm-up
-                # rep (their figures include one-time JIT/footer-scan
-                # cost); r03+ run warmup1_bestof2 (steady state).
-                "timing_protocol": "warmup1_bestof2",
-                "master": f"local[{CPUS}]",
-            }
-        )
+    # Full payload -> file. Round 4's single stdout line (timings +
+    # executor times + recall tables + curves) overflowed the driver's
+    # 2000-char tail capture and BENCH_r04 recorded "parsed": null —
+    # the headline value was lost from the permanent record. Everything
+    # diagnostic now lands in BENCH/bench_full.json; stdout carries ONE
+    # compact line (measured <1.9 KB) with the contract fields only.
+    full_payload = {
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # executor-run-time (sum over tasks, min across reps): the
+        # contention-immune figure to triage regressions on this
+        # 2-3x-wall-noisy shared VM
+        "queries_executor_sec": exec_secs,
+        "sf": sf_val,
+        "docs_per_sec": round(BENCH_DOCS / t_ext, 2),
+        "bench_docs": BENCH_DOCS,
+        "ivf_kmeans_recall_at_5": recall,
+        "ivf_balanced_recall_at_5_blobs": blob_recall,
+        "ivf_probe_aware": probe_aware,
+        "dedup_yield": dedup_yield,
+        "streaming_ingest_docs_per_sec": round(stream_docs / t_stream, 2),
+        "streaming_ingest_docs": stream_docs,
+        # docs/sec vs micro-batch size (maxFilesPerTrigger over an
+        # 8-file input): separates per-batch fixed cost from per-doc
+        # cost; filesN with N=8 is the amortized limit
+        "streaming_ingest_curve": stream_curve,
+        **big,
+        # protocol tag so cross-round deltas are compared
+        # like-for-like: r01/r02 ran bestof2 with NO warm-up rep
+        # (their figures include one-time JIT/footer-scan cost);
+        # r03+ run warmup1_bestof2 (steady state).
+        "timing_protocol": "warmup1_bestof2",
+        "master": f"local[{CPUS}]",
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_full.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full_payload, f, indent=1)
+        _log(f"full payload -> {full_path}")
+    except OSError as exc:  # read-only checkout: stdout line still lands
+        _log(f"full-payload write failed ({exc}); stdout line unaffected")
+        full_path = None
+
+    compact = {
+        "metric": (
+            f"headline wall sec: extraction ({BENCH_DOCS} skewed docs) "
+            f"+ {len(HEADLINE)} queries, local[{CPUS}]"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "docs_per_sec": round(BENCH_DOCS / t_ext, 2),
+        "big_run_docs_per_sec": big.get("big_run_docs_per_sec"),
+        "streaming_files8_docs_per_sec": stream_curve.get("files8"),
+        "timing_protocol": "warmup1_bestof2",
+        "full_payload": full_path,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces vs the 2000-char tail capture
+        compact["queries"] = {
+            k: v
+            for k, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:25]
+        }
+        compact["queries_note"] = "slowest 25; full set in full_payload"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

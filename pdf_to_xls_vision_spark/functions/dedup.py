@@ -212,11 +212,21 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle: int = 1,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs ``(doc_a, doc_b)`` —
     distinct-shingle intersection over union, via two semi-structured
-    joins (never materializes token sets on the driver)."""
-    toks = _tokens(docs, id_col, text_col, shingle=shingle).distinct()
+    joins (never materializes token sets on the driver).
+
+    ``tokens`` (a precomputed DISTINCT ``(doc_id, token)`` relation)
+    lets a caller that already shingled the corpus — e.g.
+    :func:`jaccard_prefix_join`, which persists it — share one
+    materialization instead of re-deriving the explode per branch."""
+    toks = (
+        tokens
+        if tokens is not None
+        else _tokens(docs, id_col, text_col, shingle=shingle).distinct()
+    )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
@@ -437,6 +447,7 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle: int = 1,
+    persisted_sink: list | None = None,
 ) -> DataFrame:
     """EXACT Jaccard self-join at ``threshold_pct/100`` via prefix
     filtering (the AllPairs/PPJoin candidate principle) — the exact
@@ -457,6 +468,15 @@ def jaccard_prefix_join(
     ``token`` (vocab-scale — never broadcast), one per-doc rank
     window, the prefix self-join, then the pair-scoped verify. Every
     stage is keyed or pair-scoped; nothing is all-pairs.
+
+    The token and prefix relations are each referenced by BOTH sides
+    of a self-join plus the verify stage; without materialization the
+    whole shingle->df->rank derivation re-executes per lineage path
+    (round 4's plan audit counted 32 parquet scans / 64 exchanges —
+    the worst line in the bench). Pass ``persisted_sink`` (the repo's
+    leak-guard pattern) to persist ``toks`` and ``pref``
+    MEMORY_AND_DISK — computed once, probed from every branch; the
+    caller unpersists after materializing.
     """
     if not 1 <= threshold_pct <= 100:
         raise ValueError("threshold_pct must be in [1, 100]")
@@ -464,6 +484,11 @@ def jaccard_prefix_join(
 
     t = threshold_pct
     toks = _tokens(docs, id_col, text_col, shingle=shingle).distinct()
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(toks)
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     ranked = toks.join(freq, "token").join(sizes, "doc_id")
@@ -478,6 +503,11 @@ def jaccard_prefix_join(
         .where(F.col("rk") <= prefix_len)
         .select("doc_id", "token", "n_tokens")
     )
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(pref)
     pa = pref.select(
         F.col("doc_id").alias("doc_a"),
         "token",
@@ -500,7 +530,18 @@ def jaccard_prefix_join(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    scored = jaccard_pairs(docs, cand, id_col, text_col, shingle=shingle)
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        # jaccard_pairs references the pair relation twice (once to
+        # key the intersection count, once as the left side of the
+        # final outer join) — without this the whole prefix self-join
+        # re-executes per reference
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(cand)
+    scored = jaccard_pairs(
+        docs, cand, id_col, text_col, shingle=shingle, tokens=toks
+    )
     return scored.where(
         F.lit(100) * F.col("n_inter") >= F.lit(t) * F.col("n_union")
     )

@@ -60,14 +60,23 @@ def pagerank_fixed(
     cache the per-iteration constants: pass ``persisted_sink`` (the
     repo's leak-guard pattern, ``operators/pipeline.py``) and both
     relations are persisted MEMORY_AND_DISK and appended for the
-    caller to unpersist after materializing. Registered toy-scale
-    queries skip it (recompute of a 6k-row derivation is cheaper than
-    cross-rep cache leakage in the bench loop).
+    caller to unpersist after materializing. The registered query
+    takes this path (round 4's audit measured the recompute form at
+    104 exchanges / 28 scans); bench.py rebuilds per rep and
+    unpersists between reps, so nothing leaks across queries.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 1 <= damping_pct <= 99:
         raise ValueError("damping_pct must be in [1, 99]")
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        # the caller's edge derivation (often a window/distinct over a
+        # fact table) is referenced by nodes (2x), outdeg, and ed —
+        # persist it first so the whole prep reads one materialization
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(edges)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionAll(edges.select(F.col(dst).alias("node")))
@@ -185,13 +194,12 @@ def triangle_counts(
     sides + the closing-edge probe); without materialization its whole
     derivation (canonicalize -> degrees -> orient, itself a multi-join
     chain) re-executes per reference and the static plan multiplies
-    out. At deployment scale pass ``persisted_sink`` (the repo's
-    leak-guard pattern) to persist it MEMORY_AND_DISK — computed once,
-    probed three times; the caller unpersists after materializing.
-    The registered toy-scale query skips it (recompute of a 3k-edge
-    derivation is cheaper than cross-rep cache leakage in the bench
-    loop; AQE exchange reuse recovers the identical subtrees at
-    runtime).
+    out. Pass ``persisted_sink`` (the repo's leak-guard pattern) to
+    persist it MEMORY_AND_DISK — computed once, probed three times;
+    the caller unpersists after materializing. The registered query
+    takes this path (round 4's audit measured the recompute form at
+    154 exchanges / 60 scans — AQE exchange reuse did NOT bound it);
+    bench.py rebuilds per rep and unpersists between reps.
     """
     e = (
         edges.select(
@@ -201,6 +209,15 @@ def triangle_counts(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        # e is referenced by deg (2x via the union) and keyed; its own
+        # derivation includes the caller's edge build (a self-join +
+        # support aggregate in the co-purchase query) — persist so the
+        # canonicalization runs once, not once per reference
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(e)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -6,6 +6,11 @@ floats rounded to 9 places). Prints one line per query and a final
 summary; exits non-zero on any mismatch.
 
 Usage: python scripts/rehearse_correctness.py [sf_dir] [only_prefix]
+       python scripts/rehearse_correctness.py [sf_dir] --first N
+
+``--first N`` runs the first N registry entries in INSERTION order —
+the exact window the correctness driver hard-checks (positions 0..N-1)
+— instead of a sorted prefix filter.
 """
 
 from __future__ import annotations
@@ -56,7 +61,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    names = sorted(n for n in QUERIES if n.startswith(prefix))
+    if prefix == "--first":
+        n_first = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+        names = list(QUERIES)[:n_first]
+    else:
+        names = sorted(n for n in QUERIES if n.startswith(prefix))
     fails = []
     for name in names:
         t0 = time.time()

@@ -87,7 +87,8 @@ def test_pagerank_persisted_sink_same_results(spark):
         for row in pagerank_fixed(df, persisted_sink=sink).collect()
     }
     assert got == _model(DIAMOND)
-    assert len(sink) == 2 and all(d.is_cached for d in sink)
+    # edges + nodes + outdeg-joined edge relation are each persisted
+    assert len(sink) == 3 and all(d.is_cached for d in sink)
     for d in sink:
         d.unpersist()
 
@@ -151,5 +152,7 @@ def test_triangles_persisted_sink_same_results(spark):
         for r in triangle_counts(df, persisted_sink=sink).collect()
     }
     assert got == _tri_model(K4)
-    assert len(sink) == 1 and sink[0].is_cached
-    sink[0].unpersist()
+    # canonical edge set + oriented relation are each persisted
+    assert len(sink) == 2 and all(d.is_cached for d in sink)
+    for d in sink:
+        d.unpersist()
