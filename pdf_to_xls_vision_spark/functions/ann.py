@@ -977,7 +977,7 @@ def embedding_outliers(
     group_col: str = "label",
     *,
     k: int = 5,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-group embedding outliers — the SemDeDup/CLIP-filtering
     complement: instead of removing near-DUPLICATES, surface the k
@@ -1003,10 +1003,33 @@ def embedding_outliers(
     """
     from pdf_to_xls_vision_spark.functions.relational import topk_per_group
 
+    if dim is None:
+        # metadata-scale probe, same pattern as topk_ivf_pq_residual:
+        # a hard-coded dim larger than the vectors would make
+        # element_at past the end yield nulls that propagate to null
+        # centroid sums instead of failing fast
+        first = embs.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("embedding_outliers: empty input")
+        dim = first["d"]
     q = embs.select(
         F.col(id_col).alias("vec_id"),
         F.col(group_col).alias("grp"),
-        _qvec(F.col(vec_col)).alias("qv"),
+        F.when(
+            F.size(vec_col) == dim, _qvec(F.col(vec_col))
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"embedding_outliers: expected {dim}-dim "
+                        "vector, got size "
+                    ),
+                    F.size(vec_col).cast("string"),
+                )
+            ).cast("array<bigint>")
+        )
+        .alias("qv"),
     )
     cent = q.groupBy("grp").agg(
         F.count("*").cast("long").alias("n"),

@@ -50,6 +50,21 @@ def cdc_apply(
             for c in payload_cols
         ],
     )
+    # an unknown op code (a typo'd 'U', an upstream 'i' insert code)
+    # must raise, not silently fall through the keep predicate below
+    # as a delete — that is data loss with no error
+    last = last.withColumn(
+        "_op",
+        F.when(F.col("_op").isin("u", "d"), F.col("_op")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cdc_apply: unknown op code (expected "),
+                    F.lit("'u' or 'd'): "),
+                    F.coalesce(F.col("_op"), F.lit("NULL")),
+                )
+            ).cast("string")
+        ),
+    )
     joined = base.join(last, key, "full_outer")
     kept = joined.where(F.col("_op").isNull() | (F.col("_op") == "u"))
     return kept.select(

@@ -671,48 +671,98 @@ def pairwise_set_similarity(
     items: DataFrame,
     set_col: str = "set_id",
     item_col: str = "item",
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Exact pairwise Jaccard similarity between up to 63 sets sharing
-    one item universe — the cross-corpus overlap diagnostic (how much
-    duplicate mass two crawl snapshots / sources share) that decides
-    which source pairs need a cross-dedup pass at all.
+    """Exact pairwise Jaccard similarity between sets sharing one item
+    universe — the cross-corpus overlap diagnostic (how much duplicate
+    mass two crawl snapshots / sources share) that decides which
+    source pairs need a cross-dedup pass at all.
 
-    Set ids MUST be integers in [0, 63) (they become bits of an int64
-    membership mask; at more sets, run per-pair semi-joins instead —
-    this operator's win is that pair count never touches item count).
+    ``strategy``:
 
-    Scale shape: ONE hash aggregate per item builds the membership
-    mask (bit_or partial-aggregates, so a universal item map-side
-    combines); masks collapse to (mask, count) cells — at most
-    2^n_sets but in practice tiny; per-pair intersections come from a
-    map-only bit-PAIR explode of those cells (a k-bit mask emits
-    k(k-1)/2 rows, bounded by the SET count, never the item count);
-    per-set sizes come from a direct distinct count on the input so
-    the expensive mask aggregate sits on exactly one lineage path;
+    - ``'mask'``: set ids become bits of an int64 membership mask —
+      the cheapest form, REQUIRES integer ids in [0, 63). Out-of-range
+      ids raise at run time (``shiftleft`` would otherwise wrap
+      silently and corrupt the mask).
+    - ``'array'``: per-item sorted distinct-set-id arrays replace the
+      masks — any number of sets, any non-null integer ids; set ids in
+      the output are ``bigint``.
+    - ``'auto'`` (default): ONE min/max aggregate over ``set_col`` at
+      plan-build time picks ``'mask'`` when every id fits [0, 63),
+      else ``'array'``.
+
+    Scale shape (both forms): ONE hash aggregate per item builds the
+    membership signature (``bit_or`` / ``collect_set`` both
+    partial-aggregate, so a universal item map-side combines);
+    signatures collapse to (signature, count) cells — at most 2^n_sets
+    but in practice tiny; per-pair intersections come from a map-only
+    pair explode of those cells (a k-set signature emits k(k-1)/2
+    rows, bounded by the SET count, never the item count); per-set
+    sizes come from a direct distinct count on the input so the
+    expensive signature aggregate sits on exactly one lineage path;
     unions by inclusion-exclusion. Integer ppm Jaccard —
     bit-identical in the DuckDB replay. Pairs sharing no item are
     absent from the output (their Jaccard is 0). Duplicate
-    (set, item) input rows are absorbed (bit_or / count_distinct), so
-    callers need not pre-dedup.
+    (set, item) input rows are absorbed (bit_or / collect_set /
+    count_distinct), so callers need not pre-dedup.
     """
-    masks = items.groupBy(item_col).agg(
-        F.bit_or(
-            F.expr(f"shiftleft(1L, cast({set_col} as int))")
-        ).alias("mask")
-    )
-    cells = masks.groupBy("mask").agg(F.count("*").cast("long").alias("cnt"))
-    bits = "filter(sequence(0, 62), b -> (mask & shiftleft(1L, b)) != 0)"
+    if strategy not in ("auto", "mask", "array"):
+        raise ValueError("strategy must be 'auto', 'mask', or 'array'")
+    if strategy == "auto":
+        lo, hi = items.agg(
+            F.min(set_col).cast("long"), F.max(set_col).cast("long")
+        ).first()
+        strategy = (
+            "mask" if lo is None or (lo >= 0 and hi <= 62) else "array"
+        )
     # sizes come from a direct per-set distinct count on the INPUT —
-    # a scan-level subtree, so the expensive per-item mask aggregate
-    # sits on exactly one lineage path (the intersections') instead of
-    # being re-derived for each of the three consumers
+    # a scan-level subtree, so the expensive per-item signature
+    # aggregate sits on exactly one lineage path (the intersections')
+    # instead of being re-derived for each of the three consumers
     sizes = items.groupBy(F.col(set_col).alias("set_id")).agg(
         F.count_distinct(item_col).cast("long").alias("size")
     )
-    pair_expr = (
-        f"flatten(transform({bits}, i -> "
-        f"transform(filter({bits}, b -> b > i), j -> struct(i, j))))"
-    )
+    if strategy == "mask":
+        sid = F.col(set_col).cast("int")
+        checked = F.when((sid >= 0) & (sid < 63), sid).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pairwise_set_similarity(mask): set id outside "
+                        "[0, 63): "
+                    ),
+                    F.col(set_col).cast("string"),
+                )
+            ).cast("int")
+        )
+        masks = (
+            items.select(F.col(item_col).alias("_item"), checked.alias("_sid"))
+            .groupBy("_item")
+            .agg(F.bit_or(F.expr("shiftleft(1L, _sid)")).alias("mask"))
+        )
+        cells = masks.groupBy("mask").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        bits = "filter(sequence(0, 62), b -> (mask & shiftleft(1L, b)) != 0)"
+        pair_expr = (
+            f"flatten(transform({bits}, i -> "
+            f"transform(filter({bits}, b -> b > i), j -> struct(i, j))))"
+        )
+    else:
+        sig = items.groupBy(item_col).agg(
+            F.array_sort(
+                F.collect_set(F.col(set_col).cast("long"))
+            ).alias("ss")
+        )
+        cells = sig.groupBy("ss").agg(
+            F.count("*").cast("long").alias("cnt")
+        )
+        pair_expr = (
+            "flatten(transform(ss, (x, xi) -> "
+            "transform(slice(ss, xi + 2, size(ss)), "
+            "y -> struct(x AS i, y AS j))))"
+        )
+        sizes = sizes.withColumn("set_id", F.col("set_id").cast("long"))
     inter = (
         cells.select(F.explode(F.expr(pair_expr)).alias("p"), "cnt")
         .groupBy(F.col("p.i").alias("set_a"), F.col("p.j").alias("set_b"))

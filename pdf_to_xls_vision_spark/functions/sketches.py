@@ -269,12 +269,31 @@ def kmv_estimate_row(
     across engines, so the one double division is identical too. If
     the input had fewer than ``k`` distinct values the sketch IS the
     distinct set and the exact count is returned instead.
+
+    The sketch rows don't carry the ``k`` they were built with, so a
+    mismatched ``k`` is cross-checked in-plan: a sketch holding MORE
+    than ``k`` rows was necessarily built with a larger k (ranks run
+    1..k_built), and estimating with the smaller k would silently use
+    the wrong order statistic — it raises instead.
     """
     agg = sketch.agg(
         F.count("*").cast("long").alias("n_kept"),
         F.max("kmv_hash").alias("kth_hash"),
     )
     est = F.when(
+        F.col("n_kept") > k,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"kmv_estimate_row: sketch holds more rows than k={k} "
+                    "— it was built with a larger k; pass the build-time "
+                    "k (rows kept: "
+                ),
+                F.col("n_kept").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("double"),
+    ).when(
         F.col("n_kept") < k, F.col("n_kept").cast("double")
     ).otherwise(
         F.lit(float((k - 1) * (1 << _HASH_BITS)))

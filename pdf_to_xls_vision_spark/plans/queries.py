@@ -5201,7 +5201,9 @@ def q_source_overlap(spark, sf_dir):
         F.substring("source", 4, 10).cast("int").alias("set_id"),
         F.explode(toks).alias("tok"),
     ).select("set_id", h60("tok", "srcov").alias("item"))
-    sim = pairwise_set_similarity(items)
+    # ids are 0..19 by construction, so pin the mask fast path —
+    # 'auto' would burn a min/max job at plan-build time for nothing
+    sim = pairwise_set_similarity(items, strategy="mask")
     return sim.select(
         F.concat(F.lit("src"), F.col("set_a")).alias("source_a"),
         F.concat(F.lit("src"), F.col("set_b")).alias("source_b"),

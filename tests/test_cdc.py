@@ -64,3 +64,17 @@ def test_cdc_randomized_matches_model(spark):
         else:
             changes.append((k, seq, "u", f"A{k}-{seq}", f"B{k}-{seq}"))
     assert _spark(spark, base, changes) == _model(base, changes)
+
+
+def test_cdc_unknown_op_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    base = [(1, "a1", "b1")]
+    # a typo'd 'U' and an upstream 'i' insert code must raise, not be
+    # silently treated as deletes (the keep predicate is op-null-or-'u')
+    for bad_op in ("U", "i"):
+        changes = [(1, 1, bad_op, "A1", "B1")]
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            _spark(spark, base, changes)

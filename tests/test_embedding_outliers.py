@@ -82,3 +82,23 @@ def test_outliers_tiebreak_by_vec_id(spark):
     assert [(v, rk) for _, rk, v, _ in sorted(got)] == [
         (0, 1), (1, 2), (2, 3), (3, 4),
     ]
+
+
+def test_outliers_infers_dim_and_rejects_ragged(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    rows = [(i, "g", [float(i), 0.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    # dim omitted: inferred from the first row (3 here)
+    got = embedding_outliers(df, k=2)
+    assert got.count() == 2
+    # a ragged vector must raise, not propagate null centroid sums
+    ragged = rows + [(99, "g", [1.0, 2.0])]
+    rdf = spark.createDataFrame(ragged, ["vec_id", "label", "embedding"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        embedding_outliers(rdf, k=2).collect()
+    # explicit dim larger than the vectors must raise too
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        embedding_outliers(df, k=2, dim=64).collect()

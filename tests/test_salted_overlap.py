@@ -86,3 +86,49 @@ def test_pairwise_set_similarity_duplicate_rows_ignored(spark):
     df = spark.createDataFrame(rows, ["set_id", "item"])
     got = {tuple(r) for r in pairwise_set_similarity(df).collect()}
     assert got == {(0, 1, 1, 2, 500000)}
+
+
+def test_pairwise_set_similarity_array_strategy_100_sets(spark):
+    # 100 sets breaks the int64 mask width; 'auto' must pick the
+    # array form and match the brute-force set model exactly
+    sets = {i: {f"t{j}" for j in range(i % 7, i % 7 + 5)} for i in range(100)}
+    rows = [(sid, item) for sid, s in sets.items() for item in s]
+    df = spark.createDataFrame(rows, ["set_id", "item"])
+    got = sorted(tuple(r) for r in pairwise_set_similarity(df).collect())
+    want = []
+    for i, j in combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        if inter == 0:
+            continue
+        uni = len(sets[i] | sets[j])
+        want.append((i, j, inter, uni, inter * 1000000 // uni))
+    assert got == sorted(want)
+    # explicit 'array' on small ids gives the same answer as 'mask'
+    small = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "b"), (1, "c")], ["set_id", "item"]
+    )
+    m = {tuple(r) for r in pairwise_set_similarity(small, strategy="mask").collect()}
+    a = {tuple(r) for r in pairwise_set_similarity(small, strategy="array").collect()}
+    assert m == a == {(0, 1, 1, 3, 333333)}
+
+
+def test_pairwise_set_similarity_auto_picks_mask(spark):
+    # in-range ids stay on the int64-mask fast path: the plan carries
+    # a bitwise-or aggregate, not the collect_set array signature
+    df = spark.createDataFrame([(0, "a"), (62, "a")], ["set_id", "item"])
+    sim = pairwise_set_similarity(df, strategy="auto")
+    plan = sim._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_set" not in plan
+    assert {tuple(r) for r in sim.collect()} == {(0, 62, 1, 1, 1000000)}
+
+
+def test_pairwise_set_similarity_mask_rejects_out_of_range(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    for bad in (63, -1):
+        df = spark.createDataFrame([(0, "a"), (bad, "a")], ["set_id", "item"])
+        with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+            pairwise_set_similarity(df, strategy="mask").collect()
+    with pytest.raises(ValueError):
+        pairwise_set_similarity(df, strategy="bogus")

@@ -312,3 +312,21 @@ def test_hll_grouped_registers_merge_to_global(spark):
 
     with _pytest.raises(ValueError):
         hll_registers_grouped(df, "grp", F.col("val"), p=1)
+
+
+def test_kmv_estimate_rejects_smaller_k_than_build(spark):
+    # a sketch built with k=64 passes the old n_kept < k check when
+    # estimated with k=32 and silently uses the wrong order statistic;
+    # the in-plan cross-check must raise instead
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        kmv_estimate_row,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(500)], ["x"])
+    sk = kmv_sketch(df, "x", k=64)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        kmv_estimate_row(sk, k=32).collect()
