@@ -157,7 +157,18 @@ def _sample_page_count(rng: np.random.Generator) -> int:
     return int(rng.integers(600, 1001))
 
 
-def _random_doc(doc_id: str, rng: np.random.Generator) -> list[dict]:
+def _random_doc(
+    doc_id: str,
+    rng: np.random.Generator,
+    col_range: tuple[int, int] | None = None,
+) -> list[dict]:
+    """``col_range`` overrides the numeric-column draw (default 2–5)
+    — the wide-table variant (e.g. ``(28, 48)`` → 30–50 total columns
+    with the two label columns) exercises the per-CELL Arrow-hop cost
+    the grid/spans JSON contracts target. Wide pages skip the trailing
+    prose words: their fixed 460–560pt x-band would sit INSIDE a
+    >6-column grid's x-extent instead of right of it, silently turning
+    prose into table cells."""
     n_pages = _sample_page_count(rng)
     kind_roll = rng.random()
     spans: list[dict] = []
@@ -187,11 +198,15 @@ def _random_doc(doc_id: str, rng: np.random.Generator) -> list[dict]:
             header = _cont_header(n_num, "Col" if rng.random() < 0.7 else "Column")
             rows = _std_rows(rng, int(rng.integers(3, 10)), n_num, first_detail=True)
         else:
-            n_num = int(rng.integers(2, 6))
+            n_num = (
+                int(rng.integers(col_range[0], col_range[1] + 1))
+                if col_range
+                else int(rng.integers(2, 6))
+            )
             header = _std_header(rng, n_num)
             rows = _std_rows(rng, int(rng.integers(3, 12)), n_num)
         words = _table_words(rng, header, rows)
-        if rng.random() < 0.5:
+        if col_range is None and rng.random() < 0.5:
             words += _prose_words(
                 rng, int(rng.integers(2, 6)), _Y0 + (len(rows) + 3) * _ROW_PITCH
             )
@@ -385,15 +400,19 @@ def _pinned_docs() -> list[tuple[str, list[dict]]]:
 
 
 def generate_corpus(
-    n_docs: int, seed: int = SEED, include_pinned: bool = True
+    n_docs: int,
+    seed: int = SEED,
+    include_pinned: bool = True,
+    col_range: tuple[int, int] | None = None,
 ) -> list[tuple[str, list[dict]]]:
     """The full deterministic corpus: pinned edge docs + ``n_docs``
-    randomly-shaped documents."""
+    randomly-shaped documents. ``col_range`` selects the wide-table
+    variant (see :func:`_random_doc`)."""
     docs: list[tuple[str, list[dict]]] = _pinned_docs() if include_pinned else []
     for i in range(n_docs):
         doc_id = f"doc-{i:08d}"
         rng = np.random.default_rng([seed, i])
-        docs.append((doc_id, _random_doc(doc_id, rng)))
+        docs.append((doc_id, _random_doc(doc_id, rng, col_range=col_range)))
     return docs
 
 
@@ -417,10 +436,19 @@ def corpus_to_arrow(docs: list[tuple[str, list[dict]]]):
     )
 
 
-def write_corpus_parquet(path: str, n_docs: int, seed: int = SEED) -> str:
+def write_corpus_parquet(
+    path: str,
+    n_docs: int,
+    seed: int = SEED,
+    col_range: tuple[int, int] | None = None,
+) -> str:
     """Materialize the corpus as parquet (Spark-readable, oracle-readable)."""
     import pyarrow.parquet as pq
 
-    table = corpus_to_arrow(generate_corpus(n_docs, seed))
+    table = corpus_to_arrow(
+        generate_corpus(
+            n_docs, seed, include_pinned=col_range is None, col_range=col_range
+        )
+    )
     pq.write_table(table, path, compression="zstd")
     return path

@@ -3925,6 +3925,76 @@ FROM documents
 """
 
 
+def q_streaming_line_dedup(spark, sf_dir):
+    """Batch parity of the streaming LINE dedup
+    (streaming/dedup.line_dedup_stream — the ingest-time mirror of the
+    batch boilerplate pass): the corpus driven as a file stream with
+    maxFilesPerTrigger=1, line windows hashed map-side in-stream, and
+    dropDuplicatesWithinWatermark on the line hash must emit exactly
+    the DISTINCT line-hash set — every repeated boilerplate line
+    crosses micro-batch boundaries (4 input files) and is dropped by
+    watermark-bounded state, never re-emitted. Synthetic event times
+    (doc_id mod 86400 s into one day) all lie within the 25-hour
+    watermark, so the within-watermark drop guarantee covers every
+    duplicate pair and parity with SELECT DISTINCT is exact. Only the
+    hash column is projected: which document's copy survives is
+    batching-dependent by design (module docstring)."""
+    import atexit
+    import shutil
+
+    from pdf_to_xls_vision_spark.streaming.dedup import line_dedup_stream
+
+    base = tempfile.mkdtemp(prefix="ptxv_stream_linededup_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("doc_id") % 86400
+            ).alias("ts"),
+        )
+        .repartition(4)  # duplicate lines scattered across 4 files
+        .write.mode("overwrite")
+        .parquet(in_dir)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        line_dedup_stream(stream, line_words=5, watermark="25 hours")
+        .select(F.col("h").alias("line_hash"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming parity run 'line_dedup' timed out after 600s — "
+            "refusing to compare a partial sink against the oracle"
+        )
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAMING_LINE_DEDUP = f"""
+WITH w AS (SELECT doc_id, str_split(text, ' ') AS words FROM documents),
+base AS (SELECT doc_id, words, (len(words) + 4) // 5 AS n_lines FROM w),
+lines AS (
+  SELECT array_to_string(words[(i*5+1):(i*5+5)], ' ') AS line
+  FROM base, unnest(range(n_lines)) AS t(i)
+)
+SELECT DISTINCT {h60_sql("line", "linededup")} AS line_hash FROM lines
+"""
+
+
 # ---------------------------------------------------------------------------
 # Inverted index (functions/index.py), hashed-linear quality classifier
 # (functions/scoring.py), single-pass profiling (functions/profile.py),
@@ -5337,7 +5407,10 @@ QUERIES = {
     "streaming_interval_join": q_streaming_interval_join,
     # --- positions 50+: driver-green in earlier rounds (r1-r4 rows all
     # rows+schema+hash matched); re-verified each round by the full-
-    # registry rehearsal (scripts/rehearse_correctness.py).
+    # registry rehearsal (scripts/rehearse_correctness.py). The first
+    # two entries here are the 51st/52nd candidates that did not fit
+    # the 50-slot driver window — rehearsal-green only (NOTES_ROUND5).
+    "streaming_line_dedup": q_streaming_line_dedup,
     "profile_value_histogram": q_profile_value_histogram,
     "s3_route_classifier": q_route_classifier,
     "s3_probe_first3": q_probe_first3,
@@ -5503,6 +5576,7 @@ ORACLES = {
     "streaming_windowed_counts": SQL_STREAMING_WINDOWED_COUNTS,
     "streaming_sessionize": SQL_STREAMING_SESSIONIZE,
     "streaming_dedup_docs": SQL_STREAMING_DEDUP_DOCS,
+    "streaming_line_dedup": SQL_STREAMING_LINE_DEDUP,
     "streaming_enrich_join": SQL_STREAMING_ENRICH_JOIN,
     "streaming_interval_join": SQL_STREAMING_INTERVAL_JOIN,
     "index_postings": SQL_INDEX_POSTINGS,

@@ -62,3 +62,54 @@ def dedup_stream(
     return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def line_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    line_words: int = 5,
+    watermark: str = "25 hours",
+) -> DataFrame:
+    """Streaming LINE-level first-writer-wins dedup — the ingest-time
+    mirror of the batch boilerplate pass
+    (``functions/dedup.corpus_line_dedup``): as documents arrive,
+    each ``line_words``-word line window that has already been seen
+    (within the watermark) is dropped, so repeated boilerplate never
+    reaches the sink twice. The batch pass stays the compaction-time
+    complement: it alone can apply corpus-GLOBAL occurrence thresholds
+    (remove ALL copies of a hot line), which needs full counts no
+    bounded-state stream can hold.
+
+    Line construction is the exact map-only HOF chain of the batch
+    operator (split → transform(sequence) → slice/concat_ws → 60-bit
+    hash), so it runs unchanged on a streaming DataFrame — no state,
+    no shuffle — and the surviving line-hash set is byte-comparable to
+    batch ``SELECT DISTINCT`` over the same windows. State holds one
+    key per distinct line hash seen inside the watermark horizon.
+
+    Emits ``(doc_id, pos, line, h, ts)`` for each surviving line.
+    Which document's copy survives is micro-batch-dependent (module
+    docstring), so replay-deterministic consumers project ``h``.
+    """
+    from pyspark.sql import functions as F
+
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+
+    if line_words < 1:
+        raise ValueError("line_words must be >= 1")
+    lw = line_words
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("words"),
+        F.col(ts_col).alias("ts"),
+    ).withColumn("n_lines", F.expr(f"(size(words) + {lw - 1}) div {lw}"))
+    lines_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("n_lines") - 1),
+        lambda i: F.concat_ws(" ", F.slice("words", i * lw + 1, lw)),
+    )
+    hashed = base.select(
+        "doc_id", F.posexplode(lines_arr).alias("pos", "line"), "ts"
+    ).withColumn("h", h60("line", "linededup"))
+    return dedup_stream(hashed, ["h"], ts_col="ts", watermark=watermark)

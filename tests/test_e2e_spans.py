@@ -147,3 +147,38 @@ def test_unknown_merge_strategy_rejected(spark, tiny_corpus_path):
     docs = spark.read.parquet(tiny_corpus_path)
     with _pytest.raises(ValueError, match="merge_strategy"):
         run_extraction(docs, merge_strategy="apply_in_pandaz")
+
+
+def test_wide_corpus_spans_equal_oracle(spark, tmp_path):
+    """30–50-column tables (col_range=(28, 48)): the fused layout
+    kernel, header promotion, quality gates, and grid-JSON contract
+    must stay byte-identical to the sequential oracle when per-row
+    cell count grows ~8x — the regime where the per-CELL Arrow-hop
+    cost the round-4 contract change targets actually dominates."""
+    import pyarrow.parquet as pq
+
+    from pdf_to_xls_vision_spark.corpus import (
+        corpus_to_arrow,
+        generate_corpus,
+    )
+    from tests.oracle import oracle_corpus
+
+    docs = generate_corpus(24, include_pinned=False, col_range=(28, 48))
+    path = str(tmp_path / "wide.parquet")
+    pq.write_table(corpus_to_arrow(docs), path)
+    got, _ = _collect_engine_spans(spark, path)
+    want = {
+        doc_id: [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in spans]
+        for doc_id, spans in oracle_corpus(docs).items()
+    }
+    assert set(got) == set(want)
+    diverging = [d for d in want if got[d] != want[d]]
+    assert not diverging, f"{len(diverging)} wide docs diverge: {diverging[:3]}"
+    # the corpus is genuinely wide: at least one table span with >= 30 cols
+    widths = [
+        int(s[1].split("x")[1])
+        for spans in got.values()
+        for s in spans
+        if s[0] == "table_start"
+    ]
+    assert widths and max(widths) >= 30

@@ -107,3 +107,76 @@ def test_key_validation(spark):
         dedup_stream(df, [])
     with pytest.raises(ValueError, match="event-time column"):
         dedup_stream(df, ["ts", "key"])
+
+
+def _write_docs(path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        path,
+    )
+
+
+def _doc_stream(spark, in_dir):
+    return (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+
+@pytest.mark.slow
+def test_line_dedup_drops_boilerplate_across_batches(spark, tmp_path):
+    """line_dedup_stream: a 5-word boilerplate line repeated in a later
+    document (a later micro-batch) is dropped; unique lines pass; the
+    surviving hash set equals batch DISTINCT over the same windows."""
+    from pyspark.sql import functions as F
+
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+    from pdf_to_xls_vision_spark.streaming.dedup import line_dedup_stream
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+    boiler = "all rights reserved contact us"
+    d1 = boiler + " " + "alpha beta gamma delta epsilon"
+    d2 = boiler + " " + "zeta eta theta iota kappa"  # boiler repeats
+    _write_docs(f"{in_dir}/f1.parquet", [(1, d1, T0)])
+    _write_docs(f"{in_dir}/f2.parquet", [(2, d2, T0 + timedelta(minutes=1))])
+    plan = line_dedup_stream(_doc_stream(spark, in_dir), line_words=5)
+    q = (
+        plan.select("h")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600)
+    got = sorted(r.h for r in spark.read.parquet(out_dir).collect())
+    # batch reference: distinct hashes of the 4 line windows (boiler
+    # once + three unique tails)
+    batch = spark.createDataFrame([(d1,), (d2,)], ["text"])
+    words = F.split("text", " ")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.expr("(size(split(text, ' ')) + 4) div 5") - 1,
+        ),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 5 + 1, 5)),
+    )
+    want = sorted(
+        r.h
+        for r in batch.select(F.explode(lines).alias("line"))
+        .select(h60("line", "linededup").alias("h"))
+        .distinct()
+        .collect()
+    )
+    assert got == want and len(got) == 3
+    with pytest.raises(ValueError, match="line_words"):
+        line_dedup_stream(_doc_stream(spark, in_dir), line_words=0)
