@@ -63,11 +63,21 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def _tokens(
-    docs: DataFrame, id_col: str, text_col: str, shingle: int = 1
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle: int = 1,
+    distinct_in_doc: bool = False,
 ) -> DataFrame:
     """Token relation; ``shingle`` > 1 emits space-joined word n-grams
     (the MinHash/Jaccard shingling unit). Built entirely from array
-    expressions — the shingling never leaves the JVM."""
+    expressions — the shingling never leaves the JVM.
+
+    ``distinct_in_doc`` applies ``array_distinct`` BEFORE the explode:
+    per-doc set semantics with zero shuffle (a post-explode
+    ``.distinct()`` is a full (doc_id, token) exchange — doc-scoped
+    dedup needs no cross-partition data at all, each doc's shingle
+    array lives in one row)."""
     words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     if shingle <= 1:
         grams = words
@@ -80,6 +90,8 @@ def _tokens(
                 lambda i: F.array_join(F.slice(words, i, shingle), " "),
             ),
         ).otherwise(F.array().cast("array<string>"))
+    if distinct_in_doc:
+        grams = F.array_distinct(grams)
     return docs.select(
         F.col(id_col).alias("doc_id"), F.explode(grams).alias("token")
     )
@@ -225,7 +237,9 @@ def jaccard_pairs(
     toks = (
         tokens
         if tokens is not None
-        else _tokens(docs, id_col, text_col, shingle=shingle).distinct()
+        else _tokens(
+            docs, id_col, text_col, shingle=shingle, distinct_in_doc=True
+        )
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
@@ -464,34 +478,73 @@ def jaccard_prefix_join(
     filter (``100·min(n_a,n_b) ≥ t_pct·max``) prunes before the exact
     verify, which reuses :func:`jaccard_pairs`.
 
-    Shuffles: token df aggregate, doc-size aggregate, the df join on
-    ``token`` (vocab-scale — never broadcast), one per-doc rank
-    window, the prefix self-join, then the pair-scoped verify. Every
-    stage is keyed or pair-scoped; nothing is all-pairs.
+    Shuffles: token df aggregate, the df join on ``token``
+    (vocab-scale — never broadcast), one per-doc rank window, the
+    prefix self-join, then the pair-scoped verify (two doc-keyed
+    joins). Every stage is keyed or pair-scoped; nothing is all-pairs.
 
-    The token and prefix relations are each referenced by BOTH sides
-    of a self-join plus the verify stage; without materialization the
-    whole shingle->df->rank derivation re-executes per lineage path
-    (round 4's plan audit counted 32 parquet scans / 64 exchanges —
-    the worst line in the bench). Pass ``persisted_sink`` (the repo's
-    leak-guard pattern) to persist ``toks`` and ``pref``
-    MEMORY_AND_DISK — computed once, probed from every branch; the
-    caller unpersists after materializing.
+    Three structural choices (all measured on the sf0.1 SQL-node
+    metrics, round 5):
+
+    - per-doc token SETS are built map-only (``array_distinct`` inside
+      the doc row — no (doc_id, token) distinct exchange) and carried
+      as ARRAYS; doc sizes are ``size(toks)``, not an aggregate.
+    - candidates pass PPJoin's POSITIONAL filter in addition to the
+      length filter: a prefix match at per-doc ranks (ra, rb) bounds
+      the intersection by ``1 + least(n_a - ra, n_b - rb)``; pairs
+      whose every shared prefix token sits too deep can never reach
+      the threshold. Lossless: for a qualifying pair the globally
+      MINIMAL shared token is inside both prefixes (rank(w) <=
+      n - inter + 1 <= prefix end) and its bound exceeds the true
+      intersection, so its match row always survives.
+    - the verify is ``size(array_intersect(toks_a, toks_b))`` after
+      two doc-keyed joins of the candidate pairs against the token
+      arrays — pair-scoped rows each carrying one doc's set. The
+      exploded alternative (join candidates to the token ROWS and
+      count matches) materialized 3.19M intermediate rows and spent
+      ~33 task-seconds in its two hash aggregates at sf0.1; the array
+      intersect is a per-pair merge of two ~50-element arrays.
+
+    The doc-set and prefix relations are each referenced by multiple
+    branches (set relation: rank derivation + both verify sides;
+    prefix: both self-join sides); without materialization the whole
+    shingle->df->rank derivation re-executes per lineage path (round
+    4's plan audit counted 32 parquet scans / 64 exchanges — the
+    worst line in the bench). Pass ``persisted_sink`` (the repo's
+    leak-guard pattern) to persist both MEMORY_AND_DISK — computed
+    once, probed from every branch; the caller unpersists after
+    materializing.
     """
     if not 1 <= threshold_pct <= 100:
         raise ValueError("threshold_pct must be in [1, 100]")
     from pyspark.sql.window import Window
 
     t = threshold_pct
-    toks = _tokens(docs, id_col, text_col, shingle=shingle).distinct()
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    if shingle <= 1:
+        grams = words
+    else:
+        grams = F.when(
+            F.size(words) >= shingle,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (shingle - 1)),
+                lambda i: F.array_join(F.slice(words, i, shingle), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    doc_sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(grams).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
     if persisted_sink is not None:
         from pyspark import StorageLevel
 
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted_sink.append(toks)
+        doc_sets = doc_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(doc_sets)
+    toks = doc_sets.select(
+        "doc_id", F.explode("toks").alias("token"), "n_tokens"
+    )
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
-    ranked = toks.join(freq, "token").join(sizes, "doc_id")
+    ranked = toks.join(freq, "token")
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     prefix_len = (
         F.col("n_tokens")
@@ -501,7 +554,7 @@ def jaccard_prefix_join(
     pref = (
         ranked.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= prefix_len)
-        .select("doc_id", "token", "n_tokens")
+        .select("doc_id", "token", "n_tokens", "rk")
     )
     if persisted_sink is not None:
         from pyspark import StorageLevel
@@ -512,11 +565,13 @@ def jaccard_prefix_join(
         F.col("doc_id").alias("doc_a"),
         "token",
         F.col("n_tokens").alias("n_a"),
+        F.col("rk").alias("rk_a"),
     )
     pb = pref.select(
         F.col("doc_id").alias("doc_b"),
         "token",
         F.col("n_tokens").alias("n_b"),
+        F.col("rk").alias("rk_b"),
     )
     cand = (
         pa.join(pb, "token")
@@ -526,21 +581,52 @@ def jaccard_prefix_join(
                 F.lit(100) * F.least("n_a", "n_b")
                 >= F.lit(t) * F.greatest("n_a", "n_b")
             )
+            # PPJoin positional filter (lossless — see docstring)
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("n_a") - F.col("rk_a"),
+                        F.col("n_b") - F.col("rk_b"),
+                    )
+                )
+                * F.lit(100 + t)
+                >= F.lit(t) * (F.col("n_a") + F.col("n_b"))
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    if persisted_sink is not None:
-        from pyspark import StorageLevel
-
-        # jaccard_pairs references the pair relation twice (once to
-        # key the intersection count, once as the left side of the
-        # final outer join) — without this the whole prefix self-join
-        # re-executes per reference
-        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted_sink.append(cand)
-    scored = jaccard_pairs(
-        docs, cand, id_col, text_col, shingle=shingle, tokens=toks
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_tokens").alias("n_a"),
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_tokens").alias("n_b"),
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")).alias("n_ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_ab") - F.col("n_inter")).cast("long").alias("n_union"),
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6)
+        )
     )
     return scored.where(
         F.lit(100) * F.col("n_inter") >= F.lit(t) * F.col("n_union")
