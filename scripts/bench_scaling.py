@@ -196,6 +196,32 @@ small groupBy exchanges. Identical results to the plain join. This is
 the write-once/join-many pre-payment a recurring 10^12-row fact-fact
 join wants, and the same keyed-output discipline the ingest sink's
 bucket commits follow.
+
+## Wide-corpus full-pipeline bench (round 5, session 1)
+
+`scripts/bench_wide_corpus.py --docs 4000` (local[32], warmup 1 +
+best-of-2, fresh plan + unpersist per rep; wide = `col_range=(28, 48)`
+-> 30-50 total columns per table vs the default 2-5 numeric columns;
+correctness on the wide shape pinned byte-exact vs the sequential
+oracle by `tests/test_e2e_spans.py::test_wide_corpus_spans_equal_oracle`):
+
+    {"docs": 4000, "master": "local[32]",
+     "narrow": {"wall_sec": 9.04, "executor_sec": 157.35,
+                "docs_per_sec": 442.4, "table_cells": 1133199},
+     "wide":   {"wall_sec": 18.56, "executor_sec": 310.25,
+                "docs_per_sec": 215.5, "table_cells": 5237065},
+     "wide_over_narrow_cells": 4.62, "wide_over_narrow_exec": 1.97}
+
+Reading: 4.62x the table-cell volume costs only 1.97x the executor
+time (2.05x wall) — per-CELL pipeline cost on 30-50-column tables is
+~2.3x LOWER than on narrow ones, i.e. the pipeline's per-row/per-doc
+fixed costs (JSON envelope, word parsing, span assembly, shuffle
+rows) amortize over more cells and the grid/spans single-string
+contracts keep the Arrow hop per-row, not per-cell. Combined with the
+width A/B above (JSON form wins at every width, no crossover), the
+round-4 contract decision is RE-CONFIRMED on the wide regime it was
+aimed at. Throughput line for the record: 215.5 docs/sec at ~1,309
+cells/doc ~= 282k table cells/sec end-to-end.
 """
 
 
@@ -233,6 +259,15 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=PINNED_DOCS)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--job", type=int, default=None, help="internal")
+    ap.add_argument(
+        "--from-json",
+        default=None,
+        help="skip measuring: read raw repeat seconds from a JSON file "
+        '({"local[2]": [..], "local[8]": [..], "local[32]": [..]}) '
+        "collected by separate --job invocations, and just write "
+        "BENCH/BASELINE.md (lets each level run as its own process "
+        "under an external time budget)",
+    )
     args = ap.parse_args()
 
     if args.job is not None:
@@ -246,18 +281,27 @@ def main() -> None:
         write_corpus_parquet(path, args.docs)
 
     results: dict[int, list[float]] = {c: [] for c in LEVELS}
-    for rep in range(args.repeats):
-        for cpus in LEVELS:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--job", str(cpus), "--docs", str(args.docs)],
-                capture_output=True, text=True, cwd=REPO,
-                env={**os.environ, "PYTHONPATH": REPO}, timeout=3600,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            sec = json.loads(line)["sec"]
-            results[cpus].append(sec)
-            print(f"rep {rep} local[{cpus}]: {sec}s", file=sys.stderr)
+    if args.from_json:
+        with open(args.from_json) as f:
+            raw = json.load(f)
+        for c in LEVELS:
+            results[c] = [float(x) for x in raw[f"local[{c}]"]]
+            if not results[c]:
+                raise ValueError(f"no repeats for local[{c}]")
+        args.repeats = max(len(v) for v in results.values())
+    else:
+        for rep in range(args.repeats):
+            for cpus in LEVELS:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--job", str(cpus), "--docs", str(args.docs)],
+                    capture_output=True, text=True, cwd=REPO,
+                    env={**os.environ, "PYTHONPATH": REPO}, timeout=3600,
+                )
+                line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+                sec = json.loads(line)["sec"]
+                results[cpus].append(sec)
+                print(f"rep {rep} local[{cpus}]: {sec}s", file=sys.stderr)
 
     best = {c: min(v) for c, v in results.items()}
     thr = {c: args.docs / best[c] for c in LEVELS}
