@@ -166,6 +166,7 @@ def triangle_counts(
     src: str = "src",
     dst: str = "dst",
     persisted_sink: list | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected simple graph via
     degree-ordered edge orientation (Schank–Wagner; the MapReduce form
@@ -173,7 +174,12 @@ def triangle_counts(
     for every node in at least one triangle.
 
     Input edges may be directed/duplicated — they are canonicalized to
-    distinct ``u < v`` pairs first (self-loops dropped).
+    distinct ``u < v`` pairs first (self-loops dropped). Callers whose
+    edge relation is ALREADY distinct ``src < dst`` pairs (e.g. the
+    output of a ``groupBy(src, dst)`` with a ``src < dst`` filter,
+    like the co-purchase support build) pass
+    ``assume_canonical=True`` to skip the canonicalization's
+    exchange + distinct aggregate entirely.
 
     Why orientation matters at scale: enumerating wedges from raw
     adjacency makes a celebrity node with degree D emit D^2 wedge
@@ -201,14 +207,17 @@ def triangle_counts(
     154 exchanges / 60 scans — AQE exchange reuse did NOT bound it);
     bench.py rebuilds per rep and unpersists between reps.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    if assume_canonical:
+        e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("u"),
+                F.greatest(F.col(src), F.col(dst)).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
     if persisted_sink is not None:
         from pyspark import StorageLevel
 

@@ -4705,9 +4705,12 @@ def q_triangle_parts(spark, sf_dir):
         .select("src", "dst")
     )
     sink: list = []
-    out = triangle_counts(edges, persisted_sink=sink).select(
-        F.col("node").alias("part_id"), "n_triangles"
-    )
+    # the support build emits distinct src < dst pairs by construction
+    # (groupBy + src < dst filter), so the operator's canonicalization
+    # exchange + distinct is skipped
+    out = triangle_counts(
+        edges, persisted_sink=sink, assume_canonical=True
+    ).select(F.col("node").alias("part_id"), "n_triangles")
     out._ptxv_persisted = sink
     return out
 

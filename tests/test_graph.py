@@ -156,3 +156,19 @@ def test_triangles_persisted_sink_same_results(spark):
     assert len(sink) == 2 and all(d.is_cached for d in sink)
     for d in sink:
         d.unpersist()
+
+
+def test_triangles_assume_canonical_matches(spark):
+    # clean (distinct, src<dst) input: skipping canonicalization must
+    # give identical counts
+    clean = sorted({tuple(sorted(e)) for e in K4})
+    df = spark.createDataFrame(clean, ["src", "dst"])
+    a = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df, assume_canonical=True).collect()
+    }
+    b = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    assert a == b == _tri_model(K4)
