@@ -20,6 +20,8 @@ training-data-pipeline family (dedup/join pruning at 10^12 rows).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -339,3 +341,114 @@ def hll_registers_grouped(
         .groupBy("grp", "bucket")
         .agg(F.max("rank").cast("long").alias("register"))
     )
+
+
+def quantile_sketch(
+    df,
+    key_col: str,
+    value_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    k: int = 128,
+    salt: str = "qsketch",
+):
+    """Mergeable per-group QUANTILE sketch: the rows whose salted
+    60-bit key hash is among the ``k`` smallest in the group, carrying
+    their values — a deterministic uniform sample (hash order is
+    independent of the value distribution AND of row/partition order,
+    unlike ``TABLESAMPLE``/``rand()``), replayable bit-for-bit in the
+    DuckDB oracle.
+
+    Completes the sketch family (HLL/Bloom/count-min/KMV cover
+    cardinality, membership, frequency, and distinct-intersection;
+    none answers "what is p99 of this column at 10^12 rows"). Exact
+    per-group percentiles need a full sort per group; this sketch is
+    bounded state (``k`` rows per group), and union-merge is lossless
+    by the bottom-k property: the k smallest hashes of a union are a
+    subset of the union of each shard's k smallest, so shard sketches
+    re-sketch to exactly the whole-input sketch (pytest-pinned).
+
+    Plan shape: one map-only hash projection + the exact two-phase
+    salted per-group bottom-k (``relational.topk_per_group`` — a hot
+    group never funnels one reducer). Returns
+    ``(*group_cols, kmv_rank, key_hash, value)`` with kmv_rank 1..k in
+    hash order.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pdf_to_xls_vision_spark.functions.relational import topk_per_group
+
+    gcols = list(group_cols) or ["_g"]
+    base = df.select(
+        *(
+            [F.col(c) for c in group_cols]
+            if group_cols
+            else [F.lit(0).alias("_g")]
+        ),
+        h60(key_col, salt).alias("key_hash"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    sk = topk_per_group(
+        base,
+        group_cols=gcols,
+        order_col="key_hash",
+        k=k,
+        descending=False,
+        tiebreak_col="value",
+        rank_col="kmv_rank",
+    )
+    out_cols = (list(group_cols) if group_cols else []) + [
+        F.col("kmv_rank").cast("long").alias("kmv_rank"),
+        "key_hash",
+        "value",
+    ]
+    return sk.select(*out_cols)
+
+
+def quantile_estimate(
+    sketch,
+    *,
+    group_cols: Sequence[str] = (),
+    percents: Sequence[int] = (50, 90, 99),
+):
+    """Rank-based percentile estimates over a :func:`quantile_sketch`
+    (or any sampled ``value`` relation): for each percent ``p`` the
+    value at rank ``ceil(p*n/100)`` of the group's sample ordered by
+    ``(value, key_hash)`` — percentile_disc semantics with a
+    deterministic tie order, so the integers are identical in the
+    DuckDB replay (no interpolation, no floats).
+
+    The window runs over sketch rows only (<= k per group — metadata
+    scale by construction); output is one row per group with a
+    ``p{p}`` column per requested percent plus ``n_sample``.
+    """
+    if not percents:
+        raise ValueError("percents must be non-empty")
+    for p in percents:
+        if not 1 <= p <= 100:
+            raise ValueError("percents must be in [1, 100]")
+    from pyspark.sql.window import Window
+
+    gcols = list(group_cols)
+    w = (
+        Window.partitionBy(*gcols).orderBy("value", "key_hash")
+        if gcols
+        else Window.partitionBy(F.lit(0)).orderBy("value", "key_hash")
+    )
+    ranked = sketch.withColumn("_vr", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+    )
+    aggs = [F.max("_n").cast("long").alias("n_sample")] + [
+        F.max(
+            F.when(
+                F.col("_vr") == F.expr(f"({p} * _n + 99) div 100"),
+                F.col("value"),
+            )
+        ).alias(f"p{p}")
+        for p in percents
+    ]
+    if gcols:
+        return ranked.groupBy(*gcols).agg(*aggs)
+    return ranked.groupBy().agg(*aggs)

@@ -3389,6 +3389,65 @@ SELECT node AS part_id, r AS pr_scaled FROM r3
 _KMV_K = 128
 
 
+_QSK_K = 64
+
+
+def q_quantile_sketch_doclen(spark, sf_dir):
+    """Per-language length percentiles from a mergeable quantile
+    sketch (functions/sketches.quantile_sketch, k=64): the k rows with
+    smallest salted doc_id hash per language — a deterministic uniform
+    sample independent of value distribution and partition order —
+    then percentile_disc-style ranks over the sample
+    (value at ceil(p*n/100), ties ordered by (value, hash)). Exact
+    per-group p99 at 10^12 rows needs a full per-group sort; this is
+    bounded state (k rows/group), union-mergeable (bottom-k property,
+    pytest-pinned), and every output integer replays bit-for-bit in
+    DuckDB. Build is the exact two-phase salted bottom-k — hot
+    languages never funnel one reducer."""
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = quantile_sketch(
+        docs, "doc_id", "n_chars", group_cols=["lang"], k=_QSK_K
+    )
+    return quantile_estimate(
+        sk, group_cols=["lang"], percents=(25, 50, 90, 99)
+    ).orderBy("lang")
+
+
+def _sql_quantile_sketch_doclen() -> str:
+    k = _QSK_K
+    h = h60_sql("doc_id", "qsketch")
+    sel = ",\n       ".join(
+        f"max(CASE WHEN vr = ({p} * n + 99) // 100 THEN value END) AS p{p}"
+        for p in (25, 50, 90, 99)
+    )
+    return f"""
+WITH base AS (
+  SELECT lang, {h} AS key_hash, n_chars::BIGINT AS value FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY key_hash, value) AS rk
+  FROM base
+),
+sk AS (SELECT lang, key_hash, value FROM ranked WHERE rk <= {k}),
+vr AS (
+  SELECT lang, value,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY value, key_hash) AS vr,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM sk
+)
+SELECT lang, max(n)::BIGINT AS n_sample,
+       {sel}
+FROM vr GROUP BY lang ORDER BY lang
+"""
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV (bottom-k) distinct sketch of document texts (k=128): the
     k smallest portable hashes ARE the verified artifact — unlike HLL
@@ -5465,6 +5524,7 @@ QUERIES = {
     "sketch_bloom_filter": q_bloom_filter,
     "sketch_countmin_words": q_countmin_words,
     "sketch_kmv_distinct": q_kmv_distinct,
+    "sketch_quantile_doclen": q_quantile_sketch_doclen,
     "text_fingerprint": q_fingerprint,
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
@@ -5535,6 +5595,7 @@ ORACLES = {
     "sketch_bloom_filter": _sql_bloom_filter(),
     "sketch_countmin_words": _sql_countmin_words(),
     "sketch_kmv_distinct": _sql_kmv_distinct(),
+    "sketch_quantile_doclen": _sql_quantile_sketch_doclen(),
     "graph_pagerank_parts": _sql_pagerank_parts(),
     "scd2_priority_history": SQL_SCD2_PRIORITY_HISTORY,
     "dedup_jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,

@@ -330,3 +330,99 @@ def test_kmv_estimate_rejects_smaller_k_than_build(spark):
     sk = kmv_sketch(df, "x", k=64)
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         kmv_estimate_row(sk, k=32).collect()
+
+
+def _qsk_model(rows, k, percents):
+    """Sequential model of quantile_sketch + quantile_estimate."""
+    import hashlib
+
+    def h(v):
+        return int(hashlib.md5(f"qsketch:{v}".encode()).hexdigest()[:15], 16)
+
+    by_g = {}
+    for g, key, val in rows:
+        by_g.setdefault(g, []).append((h(key), val))
+    out = {}
+    for g, items in by_g.items():
+        sample = sorted(items)[:k]
+        vals = sorted((v, kh) for kh, v in sample)
+        n = len(vals)
+        res = {"n_sample": n}
+        for p in percents:
+            res[f"p{p}"] = vals[(p * n + 99) // 100 - 1][0]
+        out[g] = res
+    return out
+
+
+def test_quantile_sketch_matches_sequential_model(spark):
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    rows = [
+        ("a", i, (i * 37) % 1000) for i in range(500)
+    ] + [("b", 10_000 + i, i) for i in range(40)]  # group smaller than k
+    df = spark.createDataFrame(rows, "g string, key long, val long")
+    sk = quantile_sketch(df, "key", "val", group_cols=["g"], k=64)
+    got = {
+        r["g"]: {c: r[c] for c in ("n_sample", "p50", "p90", "p99")}
+        for r in quantile_estimate(
+            sk, group_cols=["g"], percents=(50, 90, 99)
+        ).collect()
+    }
+    want = _qsk_model(rows, 64, (50, 90, 99))
+    assert got == want
+    assert got["b"]["n_sample"] == 40  # under-k group is the exact set
+    assert got["b"]["p99"] == 39  # exact max of 0..39
+
+
+def test_quantile_sketch_union_merge_lossless(spark):
+    """Bottom-k property: re-sketching the union of two shard sketches
+    equals the sketch of the concatenated input."""
+    from pdf_to_xls_vision_spark.functions.sketches import quantile_sketch
+
+    rows1 = [("g", i, i * 3) for i in range(0, 300, 2)]
+    rows2 = [("g", i, i * 3) for i in range(1, 300, 2)]
+    schema = "g string, key long, val long"
+    d1 = spark.createDataFrame(rows1, schema)
+    d2 = spark.createDataFrame(rows2, schema)
+    whole = quantile_sketch(
+        d1.unionAll(d2), "key", "val", group_cols=["g"], k=32
+    )
+    sh1 = quantile_sketch(d1, "key", "val", group_cols=["g"], k=32)
+    sh2 = quantile_sketch(d2, "key", "val", group_cols=["g"], k=32)
+    # merge = bottom-k by hash over the union of shard sketch ROWS
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    u = sh1.unionAll(sh2).select("g", "key_hash", "value")
+    w = Window.partitionBy("g").orderBy("key_hash", "value")
+    merged = (
+        u.withColumn("kmv_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("kmv_rank") <= 32)
+        .select("g", "kmv_rank", "key_hash", "value")
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.select("g", "kmv_rank", "key_hash", "value").collect())
+    )
+
+
+def test_quantile_sketch_global_and_validation(spark):
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i) for i in range(200)], "key long, val long"
+    )
+    sk = quantile_sketch(df, "key", "val", k=16)
+    row = quantile_estimate(sk, percents=(50,)).collect()[0]
+    assert row["n_sample"] == 16 and 0 <= row["p50"] < 200
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "key", "val", k=0)
+    with pytest.raises(ValueError):
+        quantile_estimate(sk, percents=())
+    with pytest.raises(ValueError):
+        quantile_estimate(sk, percents=(0,))
