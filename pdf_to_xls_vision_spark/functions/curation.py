@@ -18,6 +18,8 @@ bucket) are how production curation actually allocates anyway.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -582,3 +584,83 @@ def domain_filter(
             >= F.lit(int(threshold_milli)) * F.col("tokens_total")
         ).alias("keep"),
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    k: int = 1000,
+    group_cols: Sequence[str] = (),
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic WEIGHTED sample of ``k`` rows (per group):
+    Sequential Poisson Sampling (Ohlsson 1998) — rank by
+    ``u_i / w_i`` ascending where ``u_i = h60(id)`` is the portable
+    uniform draw, keep the first ``k``. Inclusion probability is
+    approximately proportional to weight (the standard πps design
+    used for e.g. quality-score-weighted corpus subsampling), and the
+    draw is a pure function of (id, salt): reshuffling, repartitioning
+    or re-running the corpus cannot change the sample.
+
+    Cross-engine exactness: the key is one IEEE-754 double DIVISION of
+    two exact integers — division is correctly rounded by the
+    standard, so Spark and DuckDB produce bit-identical keys (unlike
+    the exponential/log keys of Efraimidis–Spirakis A-ES, whose
+    transcendental libm calls differ per engine in the last ulp and
+    could flip borderline ranks). Ties broken by the hash itself.
+
+    Weights must be positive integers (raises in-plan otherwise — a
+    zero weight would divide to infinity and a negative one would
+    win every sample). Plan: map-only key projection + the exact
+    two-phase salted bottom-k (``relational.topk_per_group``), so a
+    hot group never funnels one reducer. Returns
+    ``(*group_cols, ws_rank, doc_id, weight, key)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+    from pdf_to_xls_vision_spark.functions.relational import topk_per_group
+
+    gcols = list(group_cols) or ["_g"]
+    w_ok = F.when(
+        F.col(weight_col) > 0, F.col(weight_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: weight must be positive, got "),
+                F.coalesce(
+                    F.col(weight_col).cast("string"), F.lit("NULL")
+                ),
+            )
+        ).cast("long")
+    )
+    base = docs.select(
+        *(
+            [F.col(c) for c in group_cols]
+            if group_cols
+            else [F.lit(0).alias("_g")]
+        ),
+        F.col(id_col).alias("doc_id"),
+        w_ok.alias("weight"),
+        h60(F.col(id_col).cast("string"), salt).alias("_u"),
+    ).withColumn(
+        "key", F.col("_u").cast("double") / F.col("weight").cast("double")
+    )
+    sk = topk_per_group(
+        base,
+        group_cols=gcols,
+        order_col="key",
+        k=k,
+        descending=False,
+        tiebreak_col="_u",
+        rank_col="ws_rank",
+    )
+    out = (list(group_cols) if group_cols else []) + [
+        F.col("ws_rank").cast("long").alias("ws_rank"),
+        "doc_id",
+        "weight",
+        "key",
+    ]
+    return sk.select(*out)

@@ -452,3 +452,92 @@ def quantile_estimate(
     if gcols:
         return ranked.groupBy(*gcols).agg(*aggs)
     return ranked.groupBy().agg(*aggs)
+
+
+def kmv_intersection_row(
+    sketch_a: DataFrame, sketch_b: DataFrame, *, k: int = 128
+) -> DataFrame:
+    """Set-INTERSECTION (and Jaccard) estimate from two KMV sketches —
+    the capability HLL structurally lacks (Beyer et al., SIGMOD'07
+    "On synopses for distinct-value estimation under multiset
+    operations"). Combine step:
+
+    - union sketch = the ``k`` smallest hashes of
+      ``sketch_a ∪ sketch_b`` (lossless bottom-k merge);
+    - ``n_both`` = how many union-sketch hashes appear in BOTH input
+      sketches — each such hash is a uniform draw from A ∪ B that
+      landed in A ∩ B, so ``ρ = n_both / |union sketch|`` estimates
+      the Jaccard similarity directly;
+    - ``|A ∩ B| ≈ ρ · |A ∪ B|`` with the union size from the standard
+      KMV estimator on the union sketch's k-th hash.
+
+    Everything up to the two final double divisions is integer-exact
+    cross-engine. ``k`` must be <= each input's build-time k (and the
+    salts must match): by the bottom-k property the k smallest of two
+    k'-sketches (k <= k') are exactly the k smallest of the full
+    union with correct membership flags, so combining LARGER sketches
+    at a smaller k is lossless (pytest-pinned) — but a k larger than
+    an input's build k would read hashes past that sketch's horizon,
+    where membership flags are silently wrong, and is NOT detectable
+    from the sketch rows (a short sketch is indistinguishable from an
+    exactly-small set); callers own that contract. Plan: both
+    sketches are <= k'-row metadata, so every stage here is
+    driver-scale; the heavy lifting happened in the two sketch builds
+    (one distinct-aggregate each).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    from pyspark.sql.window import Window
+
+    ha = sketch_a.select(F.col("kmv_hash").alias("h")).withColumn(
+        "in_a", F.lit(1)
+    )
+    hb = sketch_b.select(F.col("kmv_hash").alias("h")).withColumn(
+        "in_b", F.lit(1)
+    )
+    merged = ha.join(hb, "h", "full_outer").select(
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    w = Window.orderBy("h")  # <= 2k rows — metadata scale
+    union_sk = merged.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= k
+    )
+    agg = union_sk.agg(
+        F.count("*").cast("long").alias("n_union_kept"),
+        F.max("h").alias("union_kth"),
+        F.sum(
+            F.when(
+                (F.col("in_a") == 1) & (F.col("in_b") == 1), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("n_union_kept") < k,
+        # fewer than k distinct hashes total: the union sketch IS the
+        # union, counts are exact
+        F.col("n_union_kept").cast("double"),
+    ).otherwise(
+        F.lit(float((k - 1) * (1 << _HASH_BITS)))
+        / F.col("union_kth").cast("double")
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_union_kept",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            / F.col("n_union_kept").cast("double"),
+            6,
+        ).alias("jaccard_est"),
+        F.round(est_union, 6).alias("union_est"),
+        F.round(
+            est_union
+            * F.col("n_both").cast("double")
+            / F.col("n_union_kept").cast("double"),
+            6,
+        ).alias("intersection_est"),
+    )

@@ -3390,6 +3390,136 @@ _KMV_K = 128
 
 
 _QSK_K = 64
+_WS_K = 100
+_KMVI_K = 256
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted document sample (functions/curation.
+    weighted_sample): Sequential Poisson Sampling — rank by
+    h60(id)/weight (one IEEE-exact double division of two integers,
+    so the key is bit-identical in DuckDB, unlike transcendental A-ES
+    keys), keep the 100 smallest. Inclusion ~ proportional to
+    n_chars; pure function of (doc_id, salt) — partitioning and rerun
+    invariant. Exact two-phase salted bottom-k build."""
+    from pdf_to_xls_vision_spark.functions.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, id_col="doc_id", weight_col="n_chars", k=_WS_K
+    )
+
+
+def _sql_weighted_sample() -> str:
+    h = h60_sql("CAST(doc_id AS VARCHAR)", "wsample")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars::BIGINT AS weight, {h} AS u,
+         ({h})::DOUBLE / n_chars::DOUBLE AS key
+  FROM documents
+)
+SELECT row_number() OVER (ORDER BY key, u)::BIGINT AS ws_rank,
+       doc_id, weight, key
+FROM keyed ORDER BY key, u LIMIT {_WS_K}
+"""
+
+
+def q_kmv_intersection(spark, sf_dir):
+    """Cross-source distinct-shingle INTERSECTION estimate from two
+    KMV sketches (functions/sketches.kmv_intersection_row — the
+    multiset-operation synopsis of Beyer et al., SIGMOD'07; the
+    capability HLL structurally lacks): sketch src0's and src1's
+    distinct 3-gram shingles (one distinct-aggregate + bottom-k
+    each), merge the <= k-row sketches driver-scale, estimate
+    |A∩B| = (n_both / k) * union_est. The estimate is checked against
+    the exact intersection in the same row (both engines compute
+    both) — the sketch answers in O(k) what the exact form needs a
+    full shuffle join for."""
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        kmv_intersection_row,
+        kmv_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    toks_arr = F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    def _shingles(src):
+        return (
+            docs.where(F.col("source") == src)
+            .select(F.explode(toks_arr).alias("token"))
+        )
+
+    ta, tb = _shingles("src0"), _shingles("src1")
+    est = kmv_intersection_row(
+        kmv_sketch(ta, F.col("token"), k=_KMVI_K),
+        kmv_sketch(tb, F.col("token"), k=_KMVI_K),
+        k=_KMVI_K,
+    )
+    exact = (
+        ta.distinct()
+        .join(tb.distinct(), "token")
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    return est.crossJoin(exact)
+
+
+def _sql_kmv_intersection() -> str:
+    k = _KMVI_K
+    h = h60_sql("token", "kmv")
+    unbias = float((k - 1) * (1 << 60))
+    return f"""
+WITH w AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+toks AS (
+  SELECT source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                         FOR i IN range(1, len(ws) - 1)]) AS token
+  FROM w WHERE len(ws) >= 3
+),
+ha AS (SELECT DISTINCT {h} AS h FROM toks WHERE source = 'src0'
+       ORDER BY h LIMIT {k}),
+hb AS (SELECT DISTINCT {h} AS h FROM toks WHERE source = 'src1'
+       ORDER BY h LIMIT {k}),
+m AS (
+  SELECT coalesce(a.h, b.h) AS h,
+         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM ha a FULL JOIN hb b ON a.h = b.h
+),
+u AS (
+  SELECT * FROM (
+    SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rk FROM m
+  ) WHERE rk <= {k}
+),
+agg AS (
+  SELECT count(*)::BIGINT AS n_union_kept, max(h) AS union_kth,
+         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_both
+  FROM u
+),
+est AS (
+  SELECT *, CASE WHEN n_union_kept < {k} THEN n_union_kept::DOUBLE
+                 ELSE {unbias!r} / union_kth::DOUBLE END AS est_union
+  FROM agg
+)
+SELECT {k}::BIGINT AS k, n_union_kept, n_both,
+       round(n_both::DOUBLE / n_union_kept::DOUBLE, 6) AS jaccard_est,
+       round(est_union, 6) AS union_est,
+       round(est_union * n_both::DOUBLE / n_union_kept::DOUBLE, 6)
+         AS intersection_est,
+       (SELECT count(*)::BIGINT FROM
+          (SELECT DISTINCT token FROM toks WHERE source = 'src0') x
+          JOIN (SELECT DISTINCT token FROM toks WHERE source = 'src1') y
+          USING (token)) AS exact_intersection
+FROM est
+"""
 
 
 def q_quantile_sketch_doclen(spark, sf_dir):
@@ -5525,6 +5655,8 @@ QUERIES = {
     "sketch_countmin_words": q_countmin_words,
     "sketch_kmv_distinct": q_kmv_distinct,
     "sketch_quantile_doclen": q_quantile_sketch_doclen,
+    "sketch_kmv_intersection": q_kmv_intersection,
+    "curation_weighted_sample": q_weighted_sample,
     "text_fingerprint": q_fingerprint,
     "html_strip_tags": q_html_strip_tags,
     "agg_pricing_summary": q_pricing_summary,
@@ -5596,6 +5728,8 @@ ORACLES = {
     "sketch_countmin_words": _sql_countmin_words(),
     "sketch_kmv_distinct": _sql_kmv_distinct(),
     "sketch_quantile_doclen": _sql_quantile_sketch_doclen(),
+    "sketch_kmv_intersection": _sql_kmv_intersection(),
+    "curation_weighted_sample": _sql_weighted_sample(),
     "graph_pagerank_parts": _sql_pagerank_parts(),
     "scd2_priority_history": SQL_SCD2_PRIORITY_HISTORY,
     "dedup_jaccard_prefix_join": SQL_JACCARD_PREFIX_JOIN,

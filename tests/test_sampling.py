@@ -253,3 +253,92 @@ def test_domain_filter_verdicts_match_doc_scores(spark):
     assert all(not r["keep"] for r in hi)
     lo = domain_filter(df, threshold_milli=-(10**9)).collect()
     assert all(r["keep"] for r in lo)
+
+
+def _sps_model(rows, k, salt="wsample"):
+    """Sequential Poisson Sampling sequential model."""
+    import hashlib
+
+    def h(v):
+        return int(
+            hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16
+        )
+
+    # mirror the engines: the 60-bit hash is cast to double FIRST
+    # (losing low bits), then divided — both Spark and DuckDB do this
+    keyed = [(float(h(str(i))) / float(w), h(str(i)), i, w) for i, w in rows]
+    return [
+        (rk + 1, i, w, key)
+        for rk, (key, _u, i, w) in enumerate(sorted(keyed)[:k])
+    ]
+
+
+def test_weighted_sample_matches_sequential_model(spark):
+    from pdf_to_xls_vision_spark.functions.curation import weighted_sample
+
+    rows = [(i, (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = [
+        (r["ws_rank"], r["doc_id"], r["weight"], r["key"])
+        for r in weighted_sample(df, k=50)
+        .orderBy("ws_rank")
+        .collect()
+    ]
+    assert got == _sps_model(rows, 50)
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Across independent salts, weight-4 items should be sampled
+    ~4x as often as weight-1 items (πps property, loose band)."""
+    from pdf_to_xls_vision_spark.functions.curation import weighted_sample
+
+    rows = [(i, 4 if i < 250 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    heavy = 0
+    total = 0
+    for s in range(8):
+        ids = {
+            r["doc_id"]
+            for r in weighted_sample(df, k=50, salt=f"s{s}").collect()
+        }
+        heavy += sum(1 for i in ids if i < 250)
+        total += len(ids)
+    frac = heavy / total
+    # expected heavy fraction = 250*4 / (250*4 + 250*1) = 0.8
+    assert 0.65 < frac < 0.95
+
+
+def test_weighted_sample_grouped_partitioning_independent(spark):
+    from pdf_to_xls_vision_spark.functions.curation import weighted_sample
+
+    rows = [(("a" if i % 2 else "b"), i, i % 5 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, weight long")
+    a = sorted(
+        map(tuple, weighted_sample(df, k=20, group_cols=["g"]).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            weighted_sample(
+                df.repartition(13), k=20, group_cols=["g"]
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert len({r[0] for r in a}) == 2  # both groups sampled
+
+
+def test_weighted_sample_validation(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from pdf_to_xls_vision_spark.functions.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 0)], "doc_id long, weight long"
+    )
+    with pytest.raises(ValueError):
+        weighted_sample(df, k=0)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        weighted_sample(df, k=5).collect()  # zero weight raises

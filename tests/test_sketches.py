@@ -426,3 +426,48 @@ def test_quantile_sketch_global_and_validation(spark):
         quantile_estimate(sk, percents=())
     with pytest.raises(ValueError):
         quantile_estimate(sk, percents=(0,))
+
+
+def _kmv_model_hashes(values, salt="kmv"):
+    import hashlib
+
+    return sorted(
+        int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+        for v in set(values)
+    )
+
+
+def test_kmv_intersection_estimate_and_exact_path(spark):
+    from pdf_to_xls_vision_spark.functions.sketches import (
+        kmv_intersection_row,
+        kmv_sketch,
+    )
+
+    # |A|=3000, |B|=3000, |A∩B|=1000 -> jaccard 0.2, union 5000
+    a = spark.createDataFrame([(f"v{i}",) for i in range(3000)], ["x"])
+    b = spark.createDataFrame([(f"v{i}",) for i in range(2000, 5000)], ["x"])
+    k = 256
+    row = kmv_intersection_row(
+        kmv_sketch(a, "x", k=k), kmv_sketch(b, "x", k=k), k=k
+    ).collect()[0]
+    assert row["n_union_kept"] == k
+    # KMV error ~ 1/sqrt(k) ~ 6%; allow 4 sigma
+    assert abs(row["union_est"] - 5000) / 5000 < 0.25
+    assert abs(row["intersection_est"] - 1000) / 1000 < 0.45
+    assert abs(row["jaccard_est"] - 0.2) < 0.09
+
+    # below-k union: counts are exact
+    sa = spark.createDataFrame([("a",), ("b",), ("c",)], ["x"])
+    sb = spark.createDataFrame([("b",), ("c",), ("d",)], ["x"])
+    r2 = kmv_intersection_row(
+        kmv_sketch(sa, "x", k=k), kmv_sketch(sb, "x", k=k), k=k
+    ).collect()[0]
+    assert r2["n_union_kept"] == 4 and r2["n_both"] == 2
+    assert r2["union_est"] == 4.0 and r2["intersection_est"] == 2.0
+
+    # bottom-k property: combining LARGER (k'=512) sketches at k=256
+    # equals building at 256 directly — lossless downsize
+    down = kmv_intersection_row(
+        kmv_sketch(a, "x", k=512), kmv_sketch(b, "x", k=512), k=256
+    ).collect()[0]
+    assert tuple(down) == tuple(row)
