@@ -87,6 +87,10 @@ HEADLINE = [
     "window_sliding_24h",
     "events_user_rfm",
     "profile_events_stats",
+    "dedup_simhash_near_dups",
+    "join_asof_nearest",
+    "window_ewma_value",
+    "curation_dataset_card",
 ]
 
 

@@ -131,7 +131,52 @@ def build_parser() -> argparse.ArgumentParser:
         default=128,
         help="with --compact: target output file size in MiB",
     )
+    p.add_argument(
+        "--vision-backend",
+        choices=["stub", "anthropic"],
+        default="stub",
+        help="vision-inference backend: 'stub' (deterministic, no "
+        "network) or 'anthropic' (live Messages API — reference "
+        "table_extraction.py:46-133; needs ANTHROPIC_API_KEY and "
+        "--media-dir)",
+    )
+    p.add_argument(
+        "--media-dir",
+        default=None,
+        help="with --vision-backend anthropic: directory holding the "
+        "rendered page rasters, one file per media_ref",
+    )
     return p
+
+
+def _vision_backend(args):
+    """None (-> stub) or a live AnthropicVisionBackend resolving
+    media refs against --media-dir. Fails fast on missing key/dir —
+    never a silently-empty extraction."""
+    if args.vision_backend == "stub":
+        return None
+    if not args.media_dir:
+        raise SystemExit(
+            "--vision-backend anthropic requires --media-dir "
+            "(rendered page rasters, one file per media_ref)"
+        )
+    import os
+
+    from pdf_to_xls_vision_spark.core.vision_client import (
+        AnthropicVisionBackend,
+    )
+
+    media_dir = args.media_dir
+    _MIME = {".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+             ".gif": "image/gif", ".webp": "image/webp"}
+
+    def loader(ref: str) -> tuple[bytes, str]:
+        path = os.path.join(media_dir, ref)
+        ext = os.path.splitext(ref)[1].lower()
+        with open(path, "rb") as f:
+            return f.read(), _MIME.get(ext, "image/png")
+
+    return AnthropicVisionBackend(media_loader=loader)
 
 
 def _run_event_stream(spark, args) -> int:
@@ -314,6 +359,7 @@ def main(argv: list[str] | None = None) -> int:
             commit_group_size=args.commit_group_size,
             input_snapshot=args.snapshot or args.input,
             force_vision=args.force_vision,
+            backend=_vision_backend(args),
         )
         manifest = read_manifest(spark, args.output)
         totals = manifest.groupBy().sum(

@@ -1066,3 +1066,46 @@ def embedding_outliers(
             "dist2n",
         )
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """SemDeDup pruning (Abbas et al. 2023, arXiv:2303.09540): within
+    each coarse cell (k-means cluster at scale), a vector is PRUNED iff
+    some lower-id vector in the same cell has quantized cosine
+    >= ``threshold`` — the standard id-ordered, non-transitive keep
+    rule (the lowest id of each near-dup pair always survives; chains
+    prune everything but their minimum *pairwise* neighbor). Returns
+    every input row as ``(vec_id, cell, is_kept)``.
+
+    Scale shape: the pair search is :func:`embedding_near_dups` — a
+    cell-bucketed equi-join (never all-pairs; AQE splits hot cells),
+    exactly the SemDeDup recipe of confining the quadratic check to
+    within-cluster members — followed by one distinct on the pruned
+    side and one left join back to the id relation. The keep decision
+    is partitioning-independent (pure function of the pair set).
+    """
+    pairs = embedding_near_dups(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+    )
+    pruned = pairs.select(F.col("vec_b").alias("__pruned")).distinct()
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(cell_col).alias("cell")
+        )
+        .join(pruned, F.col("vec_id") == F.col("__pruned"), "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("__pruned").isNull().alias("is_kept"),
+        )
+    )

@@ -873,3 +873,122 @@ def pairwise_set_similarity(
             .alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# banded Hamming near-dup search over integer signatures (SimHash side)
+# ---------------------------------------------------------------------------
+
+
+def banded_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    *,
+    bits: int = 48,
+    max_hamming: int = 3,
+    bands: int = 6,
+) -> DataFrame:
+    """COMPLETE near-dup id pairs by Hamming distance over an integer
+    signature column: every pair whose ``bits``-wide signatures differ
+    in at most ``max_hamming`` bits, found without an all-pairs join.
+
+    Generalizes the perceptual-hash band search
+    (multimodal.phash_near_dups) to any signature width; the text-side
+    consumer is :func:`simhash_near_dups`. Completeness is the
+    pigeonhole guarantee: the signature splits into ``bands`` equal
+    bit-bands, and two signatures differing in fewer than ``bands``
+    bits must agree EXACTLY on at least one band — so a band-key
+    equi-join finds every qualifying pair and the exact
+    ``bit_count(xor)`` filter removes band-colliding far pairs
+    (enforced: ``max_hamming < bands``).
+
+    Scale shape: banding runs over DISTINCT signatures (the band join
+    scales with signature diversity, not corpus size — template docs
+    collapse first); equal-signature id pairs (Hamming 0) are emitted
+    from the exact groups directly. Returns ``(id_a, id_b, hamming)``
+    with ``id_a < id_b``.
+    """
+    if not 0 <= max_hamming < bands:
+        raise ValueError("requires 0 <= max_hamming < bands (pigeonhole)")
+    if bits % bands != 0:
+        raise ValueError("bands must divide bits")
+    if not 0 < bits <= 62:
+        raise ValueError("bits must be in (0, 62] (signed int64 signatures)")
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = sigs.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"))
+    distinct_sigs = s.select("__sig").distinct()
+    banded = distinct_sigs.select(
+        "__sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"r -> (__sig >> (r * {width})) & {mask}L)"
+            )
+        ).alias("band", "key"),
+    )
+    other = banded.select(F.col("__sig").alias("sb"), "band", "key")
+    sig_pairs = (
+        banded.join(other, ["band", "key"])
+        .where(F.col("__sig") < F.col("sb"))
+        .select(F.col("__sig").alias("sa"), "sb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sa ^ sb")).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    ia = s.select(F.col("__sig").alias("sa"), F.col("__id").alias("ia"))
+    ib = s.select(F.col("__sig").alias("sb"), F.col("__id").alias("ib"))
+    cross = sig_pairs.join(ia, "sa").join(ib, "sb").select(
+        F.least("ia", "ib").alias("id_a"),
+        F.greatest("ia", "ib").alias("id_b"),
+        "hamming",
+    )
+    same = (
+        s.join(s.select(F.col("__sig"), F.col("__id").alias("ib")), "__sig")
+        .where(F.col("__id") < F.col("ib"))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("ib").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bits: int = 48,
+    max_hamming: int = 3,
+    bands: int = 6,
+) -> DataFrame:
+    """Text near-dup pairs by SimHash Hamming distance — the
+    sub-signature-collision complement of exact-SimHash grouping:
+    :func:`simhash` gives each doc a ``bits``-wide bit-vote signature
+    (near-identical token multisets agree on almost every bit), and the
+    banded search finds every pair within ``max_hamming`` differing
+    bits without an all-pairs join. Completes the text near-dup family:
+    MinHash-LSH (probabilistic Jaccard), prefix-filter join (exact
+    Jaccard), and SimHash banding (Hamming on weighted token votes —
+    Charikar'02, the Google near-dup crawl signature of
+    Manku-Jain-Sarma WWW'07).
+
+    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+    """
+    sigs = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    pairs = banded_hamming_pairs(
+        sigs,
+        id_col="doc_id",
+        sig_col="simhash",
+        bits=bits,
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )

@@ -259,3 +259,94 @@ def scd2_from_changelog(
         F.lead(ts).over(w2).alias("valid_to"),
         F.lead(ts).over(w2).isNull().alias("is_current"),
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    prefix: str = "asof_",
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for each ``left`` row, attach the payload of
+    the ``right`` row (same ``key``) whose timestamp is CLOSEST in
+    either direction — optionally within ``|right_ts - left_ts| <=
+    tolerance`` — with NULL payload when none qualifies. Both ts
+    columns must be integer epochs (derive with the epoch-of-wall-clock
+    idiom); distances are exact integer arithmetic.
+
+    Tie rules (all deterministic): equal distance on both sides prefers
+    the backward (earlier-or-equal) row; among backward rows sharing
+    the nearest ts the greatest ``payload_cols`` tuple wins, among
+    forward rows the smallest (callers put a unique id first).
+
+    Scale shape: the same union trick as :func:`asof_join` — ONE hash
+    shuffle on ``key``, then TWO partition-local sorts (ascending for
+    the backward running-last, descending for the forward one; Catalyst
+    reuses the exchange across both Window operators since the
+    partitioning is identical). Never an inequality join, never a
+    per-key collect; skewed keys salt exactly like any groupBy key.
+    """
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).cast("long").alias("__t"),
+        F.lit(0).alias("__tag"),
+        pay.alias("__p"),
+    )
+    r = r.select("__k", "__t", "__tag", F.struct("__t", "__p").alias("__tp"))
+    lcols = left.columns
+    l = left.select(
+        *lcols,
+        F.col(key).alias("__k"),
+        F.col(left_ts).cast("long").alias("__t"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast(r.schema["__tp"].dataType).alias("__tp"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__tag").asc(), F.col("__tp").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__tag").asc(), F.col("__tp").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # right rows sort before left rows at equal __t in BOTH directions
+    # (tag asc), so an exactly-equal timestamp is admissible both ways
+    # (distance 0 -> backward wins by the tie rule); peer left rows
+    # carry null __tp and cannot perturb last(ignorenulls).
+    scored = (
+        u.withColumn("__b", F.last("__tp", ignorenulls=True).over(wb))
+        .withColumn("__f", F.last("__tp", ignorenulls=True).over(wf))
+        .filter(F.col("__tag") == 1)
+    )
+    db = F.col("__t") - F.col("__b.__t")
+    df_ = F.col("__f.__t") - F.col("__t")
+    if tolerance is not None:
+        b_ok = F.col("__b").isNotNull() & (db <= F.lit(int(tolerance)))
+        f_ok = F.col("__f").isNotNull() & (df_ <= F.lit(int(tolerance)))
+    else:
+        b_ok = F.col("__b").isNotNull()
+        f_ok = F.col("__f").isNotNull()
+    pick_forward = f_ok & (~b_ok | (df_ < db))
+    chosen = (
+        F.when(pick_forward, F.col("__f"))
+        .when(b_ok, F.col("__b"))
+        .otherwise(F.lit(None).cast(scored.schema["__b"].dataType))
+    )
+    out = scored.withColumn("__c", chosen)
+    return out.select(
+        *lcols,
+        *[
+            F.col(f"__c.__p.{c}").alias(f"{prefix}{c}")
+            for c in payload_cols
+        ],
+        F.abs(F.col("__c.__t") - F.col("__t")).cast("long").alias(f"{prefix}distance"),
+    )

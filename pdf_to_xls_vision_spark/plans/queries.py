@@ -5538,6 +5538,336 @@ FROM comp c JOIN sizes s USING (component)
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-5 additions: SimHash banded near-dups, SemDeDup prune, nearest
+# as-of join, MAD anomaly days, truncated-EWMA window, dataset card
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """Text near-dup pairs by SimHash Hamming distance
+    (functions/dedup.simhash_near_dups): 48-bit bit-vote signatures,
+    banded completeness search (6 bands of 8 bits; pigeonhole-complete
+    for max_hamming 3 < 6). The band join runs over DISTINCT
+    signatures — never all-pairs on docs; the oracle, the semantic
+    spec, IS the all-pairs definition."""
+    from pdf_to_xls_vision_spark.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        _t(spark, sf_dir, "documents"), bits=48, max_hamming=3, bands=6
+    )
+
+
+SQL_SIMHASH_NEAR_DUPS = f"""
+WITH sigs AS ({_simhash_sql(48)})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup pruning (functions/ann.semdedup_prune): k-means
+    clusters confine the pairwise cosine check, then every vector with
+    a lower-id within-cell neighbor at cosine >= threshold is dropped.
+    Fully self-contained (trains the deterministic Lloyd's centroids);
+    the oracle replays training bit-for-bit and spells the keep rule
+    as NOT EXISTS."""
+    from pdf_to_xls_vision_spark.functions.ann import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        assign_cells,
+        kmeans_train,
+        semdedup_prune,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
+    tagged = assign_cells(emb, centroids)
+    return semdedup_prune(
+        tagged, threshold=NEAR_DUP_THRESHOLD, cell_col="cell"
+    )
+
+
+def _sql_semdedup_prune() -> str:
+    from pdf_to_xls_vision_spark.functions.ann import KMEANS_ITERS, KMEANS_K
+
+    return f"""
+WITH {_kmeans_cte(KMEANS_K, KMEANS_ITERS)},
+normed AS (
+  SELECT cell, vid, qv,
+         list_sum([qv[i] * qv[i] FOR i IN range(1, len(qv) + 1)])::BIGINT AS n2
+  FROM asg_final
+),
+pairs AS (
+  SELECT a.vid AS vec_a, b.vid AS vec_b
+  FROM normed a JOIN normed b ON a.cell = b.cell AND a.vid < b.vid
+  WHERE list_sum([a.qv[i] * b.qv[i] FOR i IN range(1, len(a.qv) + 1)])::BIGINT
+          / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= {NEAR_DUP_THRESHOLD}
+),
+pruned AS (SELECT DISTINCT vec_b FROM pairs)
+SELECT n.vid AS vec_id, n.cell, (p.vec_b IS NULL) AS is_kept
+FROM normed n LEFT JOIN pruned p ON p.vec_b = n.vid
+"""
+
+
+#: nearest-click window for the nearest as-of query (seconds)
+ASOF_NEAREST_TOL = 3600
+
+
+def q_asof_nearest_click(spark, sf_dir):
+    """Nearest as-of join (functions/temporal.asof_join_nearest): each
+    purchase attaches the same user's closest click in EITHER direction
+    within ±1 h — one shuffle on user_id + two partition-local sorts
+    over the reused exchange; never an inequality join. Ties: equal
+    distance prefers the backward row; equal-ts backward rows pick the
+    greatest event_id, forward the smallest (the oracle's signed-id
+    ORDER BY spells the same rule)."""
+    from pdf_to_xls_vision_spark.functions.temporal import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _epoch_of("ts").alias("ts_epoch")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        _epoch_of("ts").alias("ts_epoch"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts_epoch",
+        right_ts="ts_epoch",
+        payload_cols=["click_event_id"],
+        tolerance=ASOF_NEAREST_TOL,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.col("asof_click_event_id").alias("near_click_event_id"),
+        F.col("asof_distance").alias("near_click_distance"),
+    )
+
+
+SQL_ASOF_NEAREST_CLICK = f"""
+WITH p AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_epoch
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ts_epoch,
+         event_id AS click_event_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts_epoch,
+       v.click_event_id AS near_click_event_id,
+       v.dist AS near_click_distance
+FROM p LEFT JOIN LATERAL (
+  SELECT click_event_id, abs(c.ts_epoch - p.ts_epoch) AS dist
+  FROM c
+  WHERE c.user_id = p.user_id
+    AND abs(c.ts_epoch - p.ts_epoch) <= {ASOF_NEAREST_TOL}
+  ORDER BY abs(c.ts_epoch - p.ts_epoch) ASC,
+           (c.ts_epoch <= p.ts_epoch) DESC,
+           CASE WHEN c.ts_epoch <= p.ts_epoch
+                THEN -click_event_id ELSE click_event_id END ASC
+  LIMIT 1
+) v ON TRUE
+"""
+
+
+#: classic robust-statistics multiplier (3 x MAD ~ 2 sigma for normal)
+MAD_MULTIPLIER = 3
+
+
+def q_anomaly_mad_days(spark, sf_dir):
+    """Robust per-type traffic anomaly days: flag (event_type, day)
+    cells whose daily event count deviates from the type's median by
+    more than MAD_MULTIPLIER x the median absolute deviation. Median
+    and MAD are DISCRETE percentiles (percentile_disc — actual data
+    values, integer-exact cross-engine; the oracle spells the ANSI
+    cume_dist >= 0.5 definition). Plan: one groupBy(type, day) count,
+    two small per-type aggregates joined back on the type key (the
+    daily relation shuffles once; the per-type medians are tiny and
+    broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", _epoch_of("ts").alias("epoch"))
+        .select("event_type", F.expr("epoch div 86400").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
+        .cast("long")
+        .alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .cast("long")
+        .alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > MAD_MULTIPLIER * F.col("mad"))
+        .select("event_type", "day", "n_events", "med", "mad")
+    )
+
+
+SQL_ANOMALY_MAD_DAYS = f"""
+WITH d AS (
+  SELECT event_type, floor(epoch(ts))::BIGINT // 86400 AS day,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, day, n_events,
+         cume_dist() OVER (PARTITION BY event_type ORDER BY n_events) AS cd
+  FROM d
+),
+m AS (
+  SELECT event_type, min(n_events) FILTER (WHERE cd >= 0.5) AS med
+  FROM r GROUP BY event_type
+),
+j AS (
+  SELECT d.event_type, d.day, d.n_events, m.med,
+         abs(d.n_events - m.med) AS dev
+  FROM d JOIN m USING (event_type)
+),
+r2 AS (
+  SELECT *, cume_dist() OVER (PARTITION BY event_type ORDER BY dev) AS cd2
+  FROM j
+),
+m2 AS (
+  SELECT event_type, min(dev) FILTER (WHERE cd2 >= 0.5) AS mad
+  FROM r2 GROUP BY event_type
+)
+SELECT j.event_type, j.day, j.n_events, j.med, m2.mad
+FROM j JOIN m2 USING (event_type)
+WHERE j.dev > {MAD_MULTIPLIER} * m2.mad
+"""
+
+
+#: truncated-EWMA depth and alpha=1/2 weights scaled by 128 (exact ints)
+EWMA_DEPTH = 8
+
+
+def q_ewma_value(spark, sf_dir):
+    """Per-user truncated EWMA of event value (alpha = 1/2, depth 8) —
+    the standard streaming-feature smoother expressed as ONE window
+    shuffle on user_id: weight 2^(7-i) on lag i, normalized by the
+    weights actually present (cold-start rows use shorter tails).
+    Values quantize to integer thousandths first, so numerator and
+    denominator are exact integers cross-engine; the single final
+    divide is rounded to 6 places."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        _epoch_of("ts").alias("ts_epoch"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    num = None
+    den = None
+    for i in range(EWMA_DEPTH):
+        weight = 1 << (EWMA_DEPTH - 1 - i)
+        lag_v = F.lag("vq", i).over(w) if i else F.col("vq")
+        contrib = F.when(lag_v.isNotNull(), lag_v * weight).otherwise(F.lit(0))
+        present = F.when(lag_v.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        num = contrib if num is None else num + contrib
+        den = present if den is None else den + present
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.round(
+            num.cast("double") / den.cast("double") / F.lit(1000.0), 6
+        ).alias("ewma_value"),
+    )
+
+
+def _sql_ewma_value() -> str:
+    terms_num = []
+    terms_den = []
+    for i in range(EWMA_DEPTH):
+        weight = 1 << (EWMA_DEPTH - 1 - i)
+        lv = f"lag(vq, {i}) OVER w" if i else "vq"
+        terms_num.append(
+            f"(CASE WHEN {lv} IS NOT NULL THEN {lv} * {weight} ELSE 0 END)"
+        )
+        terms_den.append(
+            f"(CASE WHEN {lv} IS NOT NULL THEN {weight} ELSE 0 END)"
+        )
+    num = " + ".join(terms_num)
+    den = " + ".join(terms_den)
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_epoch,
+         floor(value * 1000)::BIGINT AS vq
+  FROM events
+)
+SELECT event_id, user_id, ts_epoch,
+       round(({num})::DOUBLE / ({den})::DOUBLE / 1000.0, 6) AS ewma_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id)
+"""
+
+
+def q_dataset_card(spark, sf_dir):
+    """Per-source dataset card — the one-row-per-source manifest a
+    training-data release ships (docs, whitespace tokens, language
+    spread, exact-dup rate, mean quality). Every figure is integer or
+    integer-derived (quality in ppm via floor(q * 1e6), mean as integer
+    division), so the card is cross-engine exact. Plan: one pass of
+    map-side exprs + a single hash aggregate per source; the distinct
+    counts are two-phase."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "source",
+        "lang",
+        h60("text", "exact").alias("content_hash"),
+        token_count_expr("text").alias("n_tokens"),
+        F.floor(quality_score_expr("text") * 1000000)
+        .cast("long")
+        .alias("quality_ppm"),
+    )
+    return enriched.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("content_hash").cast("long").alias("n_distinct_texts"),
+        F.expr("sum(quality_ppm) div count(*)").alias("avg_quality_ppm"),
+    )
+
+
+def _sql_dataset_card() -> str:
+    return f"""
+WITH q AS ({SQL_QUALITY_SCORE}),
+enriched AS (
+  SELECT d.source, d.lang,
+         {h60_sql('d.text', 'exact')} AS content_hash,
+         len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens,
+         floor(q.quality * 1000000)::BIGINT AS quality_ppm
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT content_hash)::BIGINT AS n_distinct_texts,
+       (sum(quality_ppm) // count(*))::BIGINT AS avg_quality_ppm
+FROM enriched
+GROUP BY source
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -5672,6 +6002,15 @@ QUERIES = {
     "text_bpe_merge_tokens": q_bpe_merge_tokens,
     "text_bpe_token_ids": q_bpe_token_ids,
     "html_main_content": q_html_main_content,
+    # --- round-5 second-session additions (rehearsal-green; outside the
+    # 50-slot driver window, which stays reserved for the never-checked
+    # backlog — see NOTES_ROUND5.md)
+    "dedup_simhash_near_dups": q_simhash_near_dups,
+    "dedup_semdedup_prune": q_semdedup_prune,
+    "join_asof_nearest": q_asof_nearest_click,
+    "profile_anomaly_mad_days": q_anomaly_mad_days,
+    "window_ewma_value": q_ewma_value,
+    "curation_dataset_card": q_dataset_card,
 }
 
 ORACLES = {
@@ -5797,4 +6136,10 @@ ORACLES = {
     "text_bpe_merge_tokens": SQL_BPE_MERGE_TOKENS,
     "text_bpe_token_ids": SQL_BPE_TOKEN_IDS,
     "html_main_content": SQL_HTML_MAIN_CONTENT,
+    "dedup_simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+    "dedup_semdedup_prune": _sql_semdedup_prune(),
+    "join_asof_nearest": SQL_ASOF_NEAREST_CLICK,
+    "profile_anomaly_mad_days": SQL_ANOMALY_MAD_DAYS,
+    "window_ewma_value": _sql_ewma_value(),
+    "curation_dataset_card": _sql_dataset_card(),
 }

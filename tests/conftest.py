@@ -14,6 +14,7 @@ _SLOW_QUERY_PARAMS = (
     "[ann_kmeans_cells]",
     "[ann_topk_ivf_kmeans]",
     "[dedup_embedding_cosine_kmeans]",
+    "[dedup_semdedup_prune]",
     "[streaming_sessionize]",
     "[extraction_metrics]",
 )
