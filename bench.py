@@ -91,6 +91,9 @@ HEADLINE = [
     "join_asof_nearest",
     "window_ewma_value",
     "curation_dataset_card",
+    "text_pmi_bigrams",
+    "dedup_minhash_estimate",
+    "profile_equidepth_histogram",
 ]
 
 

@@ -84,3 +84,57 @@ def numeric_histogram(
             "bucket_max",
         )
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    *,
+    buckets: int = 8,
+    quant_scale: int = 1000,
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram — the optimizer-statistics
+    companion of :func:`numeric_histogram`'s equi-width buckets: bucket
+    edges are DISCRETE percentiles of the data (actual values, integer-
+    quantized, so the edges are cross-engine exact), and each bucket
+    holds ~1/``buckets`` of the rows (exactly equal only when values
+    are distinct; ties land in the lower bucket, the ANSI
+    percentile_disc convention).
+
+    Scale shape: ONE percentile aggregate produces the ``buckets - 1``
+    cut points as a single metadata row (broadcast by construction);
+    bucket assignment is a map-only sum of boundary comparisons; final
+    counts are one hash aggregate on the bucket id. Never a global
+    sort, never a per-value shuffle beyond the count aggregate.
+
+    Returns ``(bucket, n_rows, lo_q, hi_q)`` — lo/hi are the observed
+    quantized min/max inside each bucket.
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    vq = F.floor(F.col(value_col) * quant_scale).cast("long")
+    base = df.select(vq.alias("vq")).where(F.col("vq").isNotNull())
+    cuts = base.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / buckets}) WITHIN GROUP (ORDER BY vq)"
+            )
+            .cast("long")
+            .alias(f"c{i}")
+            for i in range(1, buckets)
+        ]
+    )
+    bucket = None
+    for i in range(1, buckets):
+        step = F.when(F.col("vq") > F.col(f"c{i}"), 1).otherwise(0)
+        bucket = step if bucket is None else bucket + step
+    return (
+        base.join(F.broadcast(cuts))
+        .select(bucket.cast("int").alias("bucket"), "vq")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("vq").alias("lo_q"),
+            F.max("vq").alias("hi_q"),
+        )
+    )

@@ -398,3 +398,71 @@ def distinctive_terms(
             "doc_id", "rank", F.col("word").alias("term"), "tf", "df"
         )
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_count: int = 3,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` PMI collocations — adjacent word pairs whose joint
+    frequency most exceeds the independence expectation (the classic
+    word2vec/phrase-mining preprocessing step; Church & Hanks 1990).
+
+    The score is the exact integer cross-multiplication
+    ``n_ab * N * 10^6 div (n_a * n_b)`` — a monotone transform of PMI
+    (ppm of the independence ratio), so ranking is identical to float
+    PMI while staying bit-exact cross-engine. Overflow bound:
+    ``n_ab <= N`` and the product is ``<= N^2 * 10^6``, safe in int64
+    for corpora to ~3 x 10^6 *distinct-pair-max* counts; at larger
+    corpus mass callers drop the ppm scale or pre-divide N.
+
+    Scale shape: pair construction is map-only (array HOF over the
+    split words — adjacency never leaves the row); one hash aggregate
+    per relation (pairs, unigrams); the unigram side joins back on the
+    word keys (vocab-scale, NOT broadcast); final top-k is
+    TakeOrderedAndProject (never a global sort). ``min_count`` prunes
+    the pair tail before both joins.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    docs_w = docs.select(words.alias("w"))
+    uni = (
+        docs_w.select(F.explode("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n_w"))
+    )
+    pair_expr = (
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+    )
+    pairs = (
+        docs_w.where(F.size("w") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    total = uni.agg(F.sum("n_w").cast("long").alias("n_total"))
+    scored = (
+        pairs.join(uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_a")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_b")), "w2")
+        .join(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.expr("n_ab * n_total * 1000000 div (n_a * n_b)")
+            .cast("long")
+            .alias("pmi_ppm"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("pmi_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(k)
+        .select("w1", "w2", "n_ab", "pmi_ppm")
+    )

@@ -5868,6 +5868,182 @@ GROUP BY source
 """
 
 
+def q_pmi_bigrams(spark, sf_dir):
+    """Top-50 PMI collocations (functions/text.pmi_bigrams): adjacent
+    word pairs scored by the exact integer independence ratio
+    n_ab * N * 1e6 div (n_a * n_b) — monotone in PMI, bit-exact
+    cross-engine. Map-only pair construction, two vocab-keyed joins
+    (never broadcast at design scale), TakeOrderedAndProject top-k."""
+    from pdf_to_xls_vision_spark.functions.text import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=3, k=50)
+
+
+SQL_PMI_BIGRAMS = """
+WITH w AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+uni AS (
+  SELECT word, count(*)::BIGINT AS n_w
+  FROM (SELECT unnest(w) AS word FROM w) GROUP BY word
+),
+pairs AS (
+  SELECT w1, w2, count(*)::BIGINT AS n_ab FROM (
+    SELECT unnest([w[i] FOR i IN range(1, len(w))]) AS w1,
+           unnest([w[i + 1] FOR i IN range(1, len(w))]) AS w2
+    FROM w WHERE len(w) >= 2
+  ) GROUP BY w1, w2 HAVING count(*) >= 3
+),
+total AS (SELECT sum(n_w)::BIGINT AS n_total FROM uni)
+SELECT p.w1, p.w2, p.n_ab,
+       (p.n_ab * t.n_total * 1000000 // (a.n_w * b.n_w))::BIGINT AS pmi_ppm
+FROM pairs p
+JOIN uni a ON a.word = p.w1
+JOIN uni b ON b.word = p.w2
+CROSS JOIN total t
+ORDER BY pmi_ppm DESC, p.w1 ASC, p.w2 ASC
+LIMIT 50
+"""
+
+
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash Jaccard ESTIMATE next to the exact value, per capped-LSH
+    candidate pair — the estimator-quality view a dedup deployment
+    tunes its seed count with (agreeing signature components / seeds,
+    in exact ppm). Signature join is pair-scoped; the exact side reuses
+    jaccard_pairs' pair-scoped semi-structured joins."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(
+        sigs, band_rows=4, max_bucket_size=LSH_BUCKET_CAP
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("mb")
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    exact = jaccard_pairs(docs, pairs)
+    from pdf_to_xls_vision_spark.functions.dedup import MINHASH_SEEDS
+
+    return exact.join(est, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.expr(f"n_agree * 1000000 div {MINHASH_SEEDS}")
+        .cast("long")
+        .alias("est_ppm"),
+        "jaccard",
+    )
+
+
+def _sql_minhash_estimate() -> str:
+    from pdf_to_xls_vision_spark.functions.dedup import MINHASH_SEEDS
+
+    agree = " + ".join(
+        f"(a.m{i} = b.m{i})::INT" for i in range(MINHASH_SEEDS)
+    )
+    return f"""
+WITH {_minhash_mins_sql()},
+bands AS (
+  SELECT doc_id, 0 AS band,
+         m0::VARCHAR || ',' || m1::VARCHAR || ',' || m2::VARCHAR || ',' || m3::VARCHAR AS sig
+  FROM mins
+  UNION ALL
+  SELECT doc_id, 1 AS band,
+         m4::VARCHAR || ',' || m5::VARCHAR || ',' || m6::VARCHAR || ',' || m7::VARCHAR AS sig
+  FROM mins
+),
+kept AS (
+  SELECT doc_id, band, sig FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, sig) <= {LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b, ({agree})::BIGINT AS n_agree
+  FROM cand c
+  JOIN mins a ON a.doc_id = c.doc_a
+  JOIN mins b ON b.doc_id = c.doc_b
+),
+jt AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+),
+jsizes AS (SELECT doc_id, count(*) AS n FROM jt GROUP BY doc_id),
+jinter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN jt ta ON ta.doc_id = c.doc_a
+  JOIN jt tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+       (g.n_agree * 1000000 // {MINHASH_SEEDS})::BIGINT AS est_ppm,
+       round(coalesce(i.n_inter, 0)
+             / CAST(sa.n + sb.n - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN agree g ON g.doc_a = c.doc_a AND g.doc_b = c.doc_b
+LEFT JOIN jinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN jsizes sa ON sa.doc_id = c.doc_a
+JOIN jsizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-depth histogram of event values
+    (functions/profile.equidepth_histogram): 8 buckets with DISCRETE
+    percentile edges (integer-quantized values, cut fractions i/8 are
+    exact binary doubles), ONE metadata-row percentile aggregate +
+    map-only bucket assignment + one count aggregate — never a global
+    sort. The oracle spells every edge as the ANSI cume_dist >= p
+    minimum."""
+    from pdf_to_xls_vision_spark.functions.profile import equidepth_histogram
+
+    return equidepth_histogram(
+        _t(spark, sf_dir, "events"), "value", buckets=8
+    )
+
+
+def _sql_equidepth_histogram(buckets: int = 8) -> str:
+    cuts = ",\n         ".join(
+        f"min(vq) FILTER (WHERE cd >= {i / buckets}) AS c{i}"
+        for i in range(1, buckets)
+    )
+    bucket = " + ".join(f"(vq > c{i})::INT" for i in range(1, buckets))
+    return f"""
+WITH base AS (
+  SELECT floor(value * 1000)::BIGINT AS vq FROM events
+  WHERE value IS NOT NULL
+),
+r AS (SELECT vq, cume_dist() OVER (ORDER BY vq) AS cd FROM base),
+cuts AS (
+  SELECT {cuts}
+  FROM r
+),
+b AS (
+  SELECT ({bucket})::INT AS bucket, vq
+  FROM base CROSS JOIN cuts
+)
+SELECT bucket, count(*)::BIGINT AS n_rows, min(vq) AS lo_q, max(vq) AS hi_q
+FROM b GROUP BY bucket
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6011,6 +6187,9 @@ QUERIES = {
     "profile_anomaly_mad_days": q_anomaly_mad_days,
     "window_ewma_value": q_ewma_value,
     "curation_dataset_card": q_dataset_card,
+    "text_pmi_bigrams": q_pmi_bigrams,
+    "dedup_minhash_estimate": q_minhash_estimate,
+    "profile_equidepth_histogram": q_equidepth_histogram,
 }
 
 ORACLES = {
@@ -6142,4 +6321,7 @@ ORACLES = {
     "profile_anomaly_mad_days": SQL_ANOMALY_MAD_DAYS,
     "window_ewma_value": _sql_ewma_value(),
     "curation_dataset_card": _sql_dataset_card(),
+    "text_pmi_bigrams": SQL_PMI_BIGRAMS,
+    "dedup_minhash_estimate": _sql_minhash_estimate(),
+    "profile_equidepth_histogram": _sql_equidepth_histogram(),
 }

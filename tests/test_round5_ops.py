@@ -203,3 +203,102 @@ def test_ewma_query_model(spark, tmp_path):
             num += vals[n - i] * w
             den += w
         assert got[n] == round(num / den / 1000.0, 6)
+
+
+# ---------------------------------------------------------------------------
+# pmi_bigrams — model check on a tiny corpus
+# ---------------------------------------------------------------------------
+
+def test_pmi_bigrams_model(spark):
+    from collections import Counter
+
+    from pdf_to_xls_vision_spark.functions.text import pmi_bigrams
+
+    texts = [
+        "new york is a big city",
+        "new york new york",
+        "big city big city big city",
+        "a a a new city",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["w1"], r["w2"], r["n_ab"], r["pmi_ppm"])
+        for r in pmi_bigrams(df, min_count=2, k=10).collect()
+    ]
+    uni = Counter(w for t in texts for w in t.split())
+    pairs = Counter()
+    for t in texts:
+        w = t.split()
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] += 1
+    n = sum(uni.values())
+    want = [
+        (a, b, c, c * n * 1000000 // (uni[a] * uni[b]))
+        for (a, b), c in pairs.items()
+        if c >= 2
+    ]
+    want.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == want[:10]
+    # 'new york' must outrank 'a a' (frequent-word pair)
+    top_pairs = [(a, b) for a, b, _, _ in got]
+    assert top_pairs.index(("new", "york")) < top_pairs.index(("a", "a"))
+
+
+# ---------------------------------------------------------------------------
+# equidepth_histogram — coverage, depth, validation
+# ---------------------------------------------------------------------------
+
+def test_equidepth_histogram_balanced_and_total(spark):
+    from pdf_to_xls_vision_spark.functions.profile import equidepth_histogram
+
+    # 800 distinct values -> perfectly balanced 8 x 100
+    df = spark.createDataFrame(
+        [(i / 1000.0,) for i in range(800)], "v double"
+    )
+    rows = {r["bucket"]: r for r in equidepth_histogram(df, "v", buckets=8).collect()}
+    assert sorted(rows) == list(range(8))
+    assert all(rows[b]["n_rows"] == 100 for b in rows)
+    # buckets tile the range without overlap
+    for b in range(7):
+        assert rows[b]["hi_q"] < rows[b + 1]["lo_q"]
+    assert sum(r["n_rows"] for r in rows.values()) == 800
+
+
+def test_equidepth_histogram_ties_lower_bucket(spark):
+    from pdf_to_xls_vision_spark.functions.profile import equidepth_histogram
+
+    # massive tie at one value: the tied mass lands in ONE bucket
+    df = spark.createDataFrame(
+        [(1.0,)] * 90 + [(2.0,)] * 5 + [(3.0,)] * 5, "v double"
+    )
+    rows = {r["bucket"]: r["n_rows"] for r in equidepth_histogram(df, "v", buckets=4).collect()}
+    assert rows[0] == 90  # all ties in the lowest bucket
+    assert sum(rows.values()) == 100
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        equidepth_histogram(df, "v", buckets=1)
+
+
+# ---------------------------------------------------------------------------
+# minhash estimate — exact-duplicate pair estimates 1.0
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimate_identical_docs(spark, tmp_path):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma delta"] * 2 + ["zeta eta theta iota"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [22] * 3,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pdf_to_xls_vision_spark.plans.queries import q_minhash_estimate
+
+    rows = {(r["doc_a"], r["doc_b"]): r for r in q_minhash_estimate(spark, str(tmp_path)).collect()}
+    assert (1, 2) in rows
+    assert rows[(1, 2)]["est_ppm"] == 1000000
+    assert rows[(1, 2)]["jaccard"] == 1.0
