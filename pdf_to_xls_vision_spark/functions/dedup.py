@@ -888,6 +888,7 @@ def banded_hamming_pairs(
     bits: int = 48,
     max_hamming: int = 3,
     bands: int = 6,
+    persisted_sink: list | None = None,
 ) -> DataFrame:
     """COMPLETE near-dup id pairs by Hamming distance over an integer
     signature column: every pair whose ``bits``-wide signatures differ
@@ -918,6 +919,17 @@ def banded_hamming_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     s = sigs.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"))
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        # the signature relation is referenced four times (distinct
+        # band build, both id attach sides, the equal-signature pass);
+        # when its derivation is an aggregate (SimHash's bit votes),
+        # recompute multiplies a full corpus aggregation per reference
+        # — persist once, probe four times (the repo's leak-guard
+        # pattern: caller unpersists after materializing)
+        s = s.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(s)
     distinct_sigs = s.select("__sig").distinct()
     banded = distinct_sigs.select(
         "__sig",
@@ -964,6 +976,7 @@ def simhash_near_dups(
     bits: int = 48,
     max_hamming: int = 3,
     bands: int = 6,
+    persisted_sink: list | None = None,
 ) -> DataFrame:
     """Text near-dup pairs by SimHash Hamming distance — the
     sub-signature-collision complement of exact-SimHash grouping:
@@ -986,6 +999,7 @@ def simhash_near_dups(
         bits=bits,
         max_hamming=max_hamming,
         bands=bands,
+        persisted_sink=persisted_sink,
     )
     return pairs.select(
         F.col("id_a").alias("doc_a"),

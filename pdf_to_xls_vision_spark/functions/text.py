@@ -407,6 +407,7 @@ def pmi_bigrams(
     *,
     min_count: int = 3,
     k: int = 50,
+    persisted_sink: list | None = None,
 ) -> DataFrame:
     """Top-``k`` PMI collocations — adjacent word pairs whose joint
     frequency most exceeds the independence expectation (the classic
@@ -434,6 +435,14 @@ def pmi_bigrams(
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("n_w"))
     )
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        # the unigram aggregate is referenced three times (both word
+        # joins + the corpus total) — without materialization each
+        # reference replays the full corpus token aggregation
+        uni = uni.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(uni)
     pair_expr = (
         "transform(sequence(1, size(w) - 1), "
         "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"

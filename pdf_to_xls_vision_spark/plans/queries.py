@@ -5550,12 +5550,22 @@ def q_simhash_near_dups(spark, sf_dir):
     banded completeness search (6 bands of 8 bits; pigeonhole-complete
     for max_hamming 3 < 6). The band join runs over DISTINCT
     signatures — never all-pairs on docs; the oracle, the semantic
-    spec, IS the all-pairs definition."""
+    spec, IS the all-pairs definition. The signature relation (a full
+    bit-vote aggregate) is referenced four times, so the registered
+    query persists it (handles ride as ``_ptxv_persisted``; bench.py /
+    the audits rebuild per rep and unpersist)."""
     from pdf_to_xls_vision_spark.functions.dedup import simhash_near_dups
 
-    return simhash_near_dups(
-        _t(spark, sf_dir, "documents"), bits=48, max_hamming=3, bands=6
+    sink: list = []
+    out = simhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        bits=48,
+        max_hamming=3,
+        bands=6,
+        persisted_sink=sink,
     )
+    out._ptxv_persisted = sink
+    return out
 
 
 SQL_SIMHASH_NEAR_DUPS = f"""
@@ -5692,15 +5702,23 @@ def q_anomaly_mad_days(spark, sf_dir):
     values, integer-exact cross-engine; the oracle spells the ANSI
     cume_dist >= 0.5 definition). Plan: one groupBy(type, day) count,
     two small per-type aggregates joined back on the type key (the
-    daily relation shuffles once; the per-type medians are tiny and
-    broadcast)."""
+    per-type medians are tiny and broadcast). The daily relation is
+    referenced by the median aggregate AND the deviation branch (which
+    the MAD aggregate and the final filter both read) — persisted so
+    the full-corpus count aggregate runs once, not four times; handles
+    ride as ``_ptxv_persisted``."""
+    from pyspark import StorageLevel
+
     ev = _t(spark, sf_dir, "events")
+    sink: list = []
     daily = (
         ev.select("event_type", _epoch_of("ts").alias("epoch"))
         .select("event_type", F.expr("epoch div 86400").alias("day"))
         .groupBy("event_type", "day")
         .agg(F.count("*").cast("long").alias("n_events"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sink.append(daily)
     med = daily.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_events)")
         .cast("long")
@@ -5714,11 +5732,13 @@ def q_anomaly_mad_days(spark, sf_dir):
         .cast("long")
         .alias("mad")
     )
-    return (
+    out = (
         dev.join(F.broadcast(mad), "event_type")
         .filter(F.col("dev") > MAD_MULTIPLIER * F.col("mad"))
         .select("event_type", "day", "n_events", "med", "mad")
     )
+    out._ptxv_persisted = sink
+    return out
 
 
 SQL_ANOMALY_MAD_DAYS = f"""
@@ -5873,10 +5893,18 @@ def q_pmi_bigrams(spark, sf_dir):
     word pairs scored by the exact integer independence ratio
     n_ab * N * 1e6 div (n_a * n_b) — monotone in PMI, bit-exact
     cross-engine. Map-only pair construction, two vocab-keyed joins
-    (never broadcast at design scale), TakeOrderedAndProject top-k."""
+    (never broadcast at design scale), TakeOrderedAndProject top-k.
+    The unigram aggregate (3 references) is persisted; handles ride as
+    ``_ptxv_persisted``."""
     from pdf_to_xls_vision_spark.functions.text import pmi_bigrams
 
-    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=3, k=50)
+    sink: list = []
+    out = pmi_bigrams(
+        _t(spark, sf_dir, "documents"), min_count=3, k=50,
+        persisted_sink=sink,
+    )
+    out._ptxv_persisted = sink
+    return out
 
 
 SQL_PMI_BIGRAMS = """
@@ -5912,12 +5940,28 @@ def q_minhash_estimate(spark, sf_dir):
     candidate pair — the estimator-quality view a dedup deployment
     tunes its seed count with (agreeing signature components / seeds,
     in exact ppm). Signature join is pair-scoped; the exact side reuses
-    jaccard_pairs' pair-scoped semi-structured joins."""
+    jaccard_pairs' pair-scoped semi-structured joins. The signature
+    relation (3 references: band build + both pair sides) and the
+    candidate pairs (3 references: estimate + exact intersect + final)
+    are persisted — without it the MinHash aggregate replays per
+    reference (round-4 lesson from the jaccard-prefix plan); handles
+    ride as ``_ptxv_persisted``."""
+    from pyspark import StorageLevel
+
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    sink: list = []
+    sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sink.append(sigs)
     pairs = lsh_candidate_pairs(
         sigs, band_rows=4, max_bucket_size=LSH_BUCKET_CAP
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sink.append(pairs)
+    from pdf_to_xls_vision_spark.functions.dedup import _tokens
+
+    toks = _tokens(docs, "doc_id", "text", distinct_in_doc=True).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    sink.append(toks)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
     )
@@ -5934,10 +5978,10 @@ def q_minhash_estimate(spark, sf_dir):
             .alias("n_agree")
         )
     )
-    exact = jaccard_pairs(docs, pairs)
+    exact = jaccard_pairs(docs, pairs, tokens=toks)
     from pdf_to_xls_vision_spark.functions.dedup import MINHASH_SEEDS
 
-    return exact.join(est, ["doc_a", "doc_b"]).select(
+    out = exact.join(est, ["doc_a", "doc_b"]).select(
         "doc_a",
         "doc_b",
         F.expr(f"n_agree * 1000000 div {MINHASH_SEEDS}")
@@ -5945,6 +5989,8 @@ def q_minhash_estimate(spark, sf_dir):
         .alias("est_ppm"),
         "jaccard",
     )
+    out._ptxv_persisted = sink
+    return out
 
 
 def _sql_minhash_estimate() -> str:

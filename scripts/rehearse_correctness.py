@@ -73,6 +73,8 @@ def main() -> int:
             sdf = QUERIES[name](spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            for c in getattr(sdf, "_ptxv_persisted", []):
+                c.unpersist()
             if name not in ORACLES:
                 status = f"rows-only ({len(s_rows)})"
             else:

@@ -57,6 +57,8 @@ def test_query_matches_duckdb(name, spark, ddb):
     sdf = QUERIES[name](spark, SF_DIR)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
+    for c in getattr(sdf, "_ptxv_persisted", []):
+        c.unpersist()
 
     cur = ddb.execute(ORACLES[name])
     d_cols = [c[0] for c in cur.description]
