@@ -94,6 +94,9 @@ HEADLINE = [
     "text_pmi_bigrams",
     "dedup_minhash_estimate",
     "profile_equidepth_histogram",
+    "curation_dsir_select",
+    "graph_label_propagation",
+    "events_json_stats",
 ]
 
 

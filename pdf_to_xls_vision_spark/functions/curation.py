@@ -664,3 +664,120 @@ def weighted_sample(
         "key",
     ]
     return sk.select(*out)
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_pred,
+    *,
+    n_buckets: int = 2048,
+    k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persisted_sink: list | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al.
+    2023, arXiv:2302.03169) — rank raw-corpus documents by how much
+    their hashed-n-gram distribution looks like a target corpus, and
+    keep the top ``k``.
+
+    Features are word bigrams hashed into ``n_buckets`` buckets with
+    the portable md5-60bit (functions/hashing.py), so the bucket
+    assignment is bit-identical cross-engine. Per-bucket importance
+    weight is the exact integer ratio
+
+        w_ppm(b) = (cnt_target(b) + 1) * 10^6 div (cnt_raw(b) + 1)
+
+    (add-one smoothing; ppm of the per-bucket probability ratio up to
+    the constant total-mass factor). A document's score is the
+    length-normalized integer mean over its bigram OCCURRENCES:
+
+        score_ppm(d) = sum_{g in d} w_ppm(bucket(g)) div n_bigrams(d)
+
+    — a deterministic, integer-exact surrogate for DSIR's mean
+    log-likelihood-ratio ranking (monotone per bucket in the smoothed
+    probability ratio; the paper's Gumbel-noise resampling step is
+    replaced by the deterministic top-``k`` so the operator is
+    reproducible and cross-engine testable). Overflow bound:
+    ``w_ppm <= (cnt_target_max + 1) * 10^6`` and a doc sums
+    ``n_bigrams`` of them — safe in int64 for corpora to ~10^9 target
+    bigram occurrences per bucket.
+
+    Scale shape: bigram construction is map-only (array HOF inside the
+    row); bucket counts for raw AND target come from ONE hash
+    aggregate (conditional sum — the target corpus is a predicate over
+    the raw corpus, the common DSIR deployment); the weight relation
+    is bounded by ``n_buckets`` BY CONSTRUCTION, so broadcasting it to
+    the scoring join is safe at any corpus size; per-doc scoring is
+    one hash aggregate on ``doc_id``; final selection is
+    TakeOrderedAndProject (never a global sort). The exploded
+    (doc, bucket, is_target) relation is referenced twice (weights +
+    scoring) — pass ``persisted_sink`` to materialize it once.
+
+    Returns ``(dsir_rank, doc_id, n_bigrams, score_ppm)``.
+    """
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    pair_expr = (
+        "transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target_pred.alias("is_target"),
+            words.alias("w"),
+        )
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(F.expr(pair_expr)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (h60("gram", "dsir") % n_buckets).alias("bucket"),
+        )
+    )
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(grams)
+    weights = (
+        grams.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("cnt_raw"),
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_target"),
+        )
+        .select(
+            "bucket",
+            F.expr("(cnt_target + 1) * 1000000 div (cnt_raw + 1)")
+            .cast("long")
+            .alias("w_ppm"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w_ppm").cast("long").alias("w_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("w_sum div n_bigrams").cast("long").alias("score_ppm"),
+        )
+    )
+    ranked = scored.orderBy(
+        F.col("score_ppm").desc(), F.col("doc_id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("doc_id").asc())
+    return ranked.withColumn(
+        "dsir_rank", F.row_number().over(w).cast("long")
+    ).select("dsir_rank", "doc_id", "n_bigrams", "score_ppm")

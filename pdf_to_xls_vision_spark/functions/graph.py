@@ -309,3 +309,100 @@ tri_counts AS (
     UNION ALL SELECT b2 FROM tri
   ) GROUP BY node
 )"""
+
+
+def label_propagation(
+    edges: DataFrame,
+    *,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    persisted_sink: list | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, deterministic variant) over an undirected edge list;
+    returns ``(node, community)`` after ``iters`` full rounds.
+
+    Every node starts labeled with its own id; each round it adopts
+    the most frequent label among its NEIGHBORS (its own label does
+    not vote), breaking frequency ties on the MINIMUM label — so the
+    update is a pure function of the previous round's labels and the
+    result is bit-identical across engines and partitionings (the
+    classic async/random-tie LPA is run-dependent; this is the
+    deterministic semi-synchronous form GraphFrames' LPA also uses).
+    Labels are node ids (integers), so no float order-dependence
+    exists anywhere.
+
+    Scale shape: edges are symmetrized once (map-only union); each
+    round is one shuffle-join of the symmetrized edges with the |V|-row
+    label relation on ``src`` + one (node, label) hash aggregate + one
+    per-node top-1 (TakeOrderedAndProject shape via max_by struct
+    comparison — never a wide window sort). ``iters`` is a plan-unroll
+    count exactly like :func:`pagerank_fixed`; pass ``persisted_sink``
+    to materialize the symmetrized edge relation (referenced by every
+    round) and each round's label relation (referenced by the next
+    round AND the final output) once each.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(sym)
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("label").alias("nl")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"), F.col("nl").alias("label"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        # top-1 per node: max over (count, -label) — tie prefers the
+        # smaller label; struct comparison keeps it one hash aggregate
+        # (max_by), never a per-node window sort.
+        labels = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias(
+                "m"
+            )
+        ).select("node", (-F.col("m.neg")).cast("long").alias("label"))
+        if persisted_sink is not None:
+            from pyspark import StorageLevel
+
+            labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted_sink.append(labels)
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_sql(edges_cte: str, *, iters: int = 3) -> str:
+    """DuckDB replay of :func:`label_propagation`: unrolled CTE chain
+    over an ``edges(src, dst)`` CTE named ``edges_cte``. Returns the
+    CTE body only; the final labels live in ``l{iters}(node, label)``.
+    """
+    parts = [
+        f"sym AS (SELECT src AS u, dst AS v FROM {edges_cte} "
+        f"UNION ALL SELECT dst, src FROM {edges_cte})",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"votes{i} AS (SELECT s.v AS node, l.label, "
+            f"count(*)::BIGINT AS c "
+            f"FROM sym s JOIN l{i} l ON s.u = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER ("
+            f"PARTITION BY node ORDER BY c DESC, label ASC) AS rn "
+            f"FROM votes{i}) WHERE rn = 1)"
+        )
+    return ",\n".join(parts)

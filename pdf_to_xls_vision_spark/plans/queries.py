@@ -6090,6 +6090,180 @@ FROM b GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions (session 2): DSIR importance selection, label
+# propagation communities, semi-structured JSON ingestion
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (functions/curation.dsir_select; Xie et al.
+    2023): hashed-bigram importance weights target=en vs the raw
+    corpus, integer-ppm scoring, deterministic top-200. One exploded
+    gram relation (persisted — referenced by the weight build and the
+    scoring join), one conditional-sum aggregate for both bucket
+    counts, weight relation bounded by n_buckets=2048 so broadcast is
+    safe by construction, TakeOrderedAndProject selection."""
+    from pdf_to_xls_vision_spark.functions.curation import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    sink: list = []
+    out = dsir_select(
+        docs,
+        F.col("lang") == "en",
+        n_buckets=2048,
+        k=200,
+        persisted_sink=sink,
+    )
+    out._ptxv_persisted = sink
+    return out
+
+
+SQL_DSIR_SELECT = f"""
+WITH w AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, is_target,
+         {h60_sql("g", "dsir")} % 2048 AS bucket
+  FROM (
+    SELECT doc_id, is_target,
+           unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS g
+    FROM w WHERE len(w) >= 2
+  )
+),
+wts AS (
+  SELECT bucket,
+         CAST((CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) + 1)
+              * 1000000 // (count(*)::BIGINT + 1) AS BIGINT) AS w_ppm
+  FROM grams GROUP BY bucket
+),
+scored AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+         CAST(CAST(sum(t.w_ppm) AS BIGINT) // count(*)::BIGINT AS BIGINT)
+           AS score_ppm
+  FROM grams g JOIN wts t USING (bucket)
+  GROUP BY g.doc_id
+),
+top AS (
+  SELECT doc_id, n_bigrams, score_ppm FROM scored
+  ORDER BY score_ppm DESC, doc_id ASC LIMIT 200
+)
+SELECT CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS BIGINT)
+         AS dsir_rank,
+       doc_id, n_bigrams, score_ppm
+FROM top
+"""
+
+
+def q_graph_label_propagation(spark, sf_dir):
+    """Label-propagation communities (functions/graph.label_propagation)
+    over the co-purchase graph (support >= 3) — the modularity-free
+    community complement to graph_components_parts (CC merges anything
+    connected; LPA splits dense regions by neighborhood majority).
+    Deterministic synchronous form, 3 unrolled rounds, min-label tie
+    break; edge relation + per-round labels persisted (handles ride as
+    ``_ptxv_persisted``). Output: (part_id, community, comm_size)."""
+    from pdf_to_xls_vision_spark.functions.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    tup = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        tup.join(
+            tup.select("l_orderkey", F.col("l_partkey").alias("p2")),
+            "l_orderkey",
+        )
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 3)
+        .select("src", "dst")
+    )
+    sink: list = []
+    lab = label_propagation(edges, iters=3, persisted_sink=sink)
+    sizes = lab.groupBy("community").agg(
+        F.count("*").cast("long").alias("comm_size")
+    )
+    out = lab.join(sizes, "community").select(
+        F.col("node").alias("part_id"), "community", "comm_size"
+    )
+    out._ptxv_persisted = sink
+    return out
+
+
+def _sql_graph_label_propagation() -> str:
+    from pdf_to_xls_vision_spark.functions.graph import label_propagation_sql
+
+    return f"""
+WITH tup AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cand AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM tup a JOIN tup b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+e AS (SELECT u AS src, v AS dst FROM cand),
+{label_propagation_sql("e", iters=3)},
+comm AS (SELECT node, label AS community FROM l3),
+sizes AS (
+  SELECT community, count(*)::BIGINT AS comm_size FROM comm GROUP BY 1
+)
+SELECT c.node AS part_id, c.community, s.comm_size
+FROM comm c JOIN sizes s USING (community)
+"""
+
+
+def q_events_json_stats(spark, sf_dir):
+    """Semi-structured ingestion: extract the JSON payload field
+    ``props.$.k`` (get_json_object — JVM-side JSON path, no Python)
+    and aggregate integer stats per event type. The JSONL-ingestion
+    shape every training pipeline starts with: parse-then-aggregate in
+    one map + one hash aggregate, nulls/empties surviving as missing
+    values (n_events vs n_with_k). Integer sum/min/max only — exact
+    cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    k = (
+        F.when(
+            F.col("props").isNull() | (F.col("props") == ""), F.lit(None)
+        )
+        .otherwise(F.get_json_object("props", "$.k"))
+        .cast("long")
+    )
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_STATS = """
+WITH ex AS (
+  SELECT event_type,
+         CASE WHEN props IS NULL OR props = '' THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(k)::BIGINT AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ex GROUP BY event_type
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6236,6 +6410,9 @@ QUERIES = {
     "text_pmi_bigrams": q_pmi_bigrams,
     "dedup_minhash_estimate": q_minhash_estimate,
     "profile_equidepth_histogram": q_equidepth_histogram,
+    "curation_dsir_select": q_dsir_select,
+    "graph_label_propagation": q_graph_label_propagation,
+    "events_json_stats": q_events_json_stats,
 }
 
 ORACLES = {
@@ -6370,4 +6547,7 @@ ORACLES = {
     "text_pmi_bigrams": SQL_PMI_BIGRAMS,
     "dedup_minhash_estimate": _sql_minhash_estimate(),
     "profile_equidepth_histogram": _sql_equidepth_histogram(),
+    "curation_dsir_select": SQL_DSIR_SELECT,
+    "graph_label_propagation": _sql_graph_label_propagation(),
+    "events_json_stats": SQL_EVENTS_JSON_STATS,
 }

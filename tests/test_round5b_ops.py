@@ -1,0 +1,184 @@
+"""Round-5 third-session operators: DSIR importance selection, label
+propagation communities, JSON payload ingestion. The registry parity
+harness covers each end-to-end vs DuckDB; these pin the semantics
+against independent Python models."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_to_xls_vision_spark.functions.curation import dsir_select
+from pdf_to_xls_vision_spark.functions.graph import label_propagation
+
+
+# ---------------------------------------------------------------------------
+# dsir_select — exact integer scores vs a sequential model
+# ---------------------------------------------------------------------------
+
+def _h60(s: str, salt: str) -> int:
+    return int(hashlib.md5(f"{salt}:{s}".encode()).hexdigest()[:15], 16)
+
+
+def _dsir_model(docs, target_ids, n_buckets, k):
+    grams = []  # (doc_id, bucket)
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            grams.append((doc_id, _h60(f"{a} {b}", "dsir") % n_buckets))
+    cnt_raw = Counter(b for _, b in grams)
+    cnt_t = Counter(b for d, b in grams if d in target_ids)
+    w_ppm = {
+        b: (cnt_t.get(b, 0) + 1) * 1_000_000 // (cnt_raw[b] + 1)
+        for b in cnt_raw
+    }
+    per_doc = {}
+    for d, b in grams:
+        n, s = per_doc.get(d, (0, 0))
+        per_doc[d] = (n + 1, s + w_ppm[b])
+    scored = [(d, n, s // n) for d, (n, s) in per_doc.items()]
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return [
+        (i + 1, d, n, sc) for i, (d, n, sc) in enumerate(scored[:k])
+    ]
+
+
+def test_dsir_select_matches_model(spark):
+    docs = [
+        (1, "alpha beta alpha beta gamma"),
+        (2, "alpha beta delta beta gamma"),
+        (3, "zeta eta theta iota kappa"),
+        (4, "zeta eta theta zeta eta"),
+        (5, "alpha beta zeta eta mixed"),
+        (6, "solo"),  # < 2 words: no bigrams, excluded
+    ]
+    target = {1, 2}
+    df = spark.createDataFrame(
+        [(d, t, "en" if d in target else "xx") for d, t in docs],
+        "doc_id long, text string, lang string",
+    )
+    got = [
+        (r["dsir_rank"], r["doc_id"], r["n_bigrams"], r["score_ppm"])
+        for r in dsir_select(
+            df, F.col("lang") == "en", n_buckets=64, k=10
+        ).collect()
+    ]
+    assert got == _dsir_model(docs, target, 64, 10)
+    # target-looking docs outrank off-target docs
+    order = [d for _, d, _, _ in got]
+    assert set(order[:2]) == {1, 2}
+    assert 6 not in order
+
+
+def test_dsir_select_partitioning_independent(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(12)),
+         "en" if i % 3 == 0 else "xx")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = dsir_select(df.repartition(1), F.col("lang") == "en", k=20).collect()
+    b = dsir_select(df.repartition(16), F.col("lang") == "en", k=20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# label_propagation — exact labels vs a sequential synchronous model
+# ---------------------------------------------------------------------------
+
+def _lpa_model(edges, iters):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return labels
+
+
+def _two_cliques():
+    # two 4-cliques bridged by a single edge (3 <-> 10)
+    c1 = [(a, b) for a in (0, 1, 2, 3) for b in (0, 1, 2, 3) if a < b]
+    c2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    return c1 + c2 + [(3, 10)]
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_label_propagation_matches_model(spark, iters):
+    edges = _two_cliques()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=iters).collect()
+    }
+    assert got == _lpa_model(edges, iters)
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    # CC would merge everything into one component; LPA keeps the two
+    # dense cliques in separate min-label communities.
+    df = spark.createDataFrame(_two_cliques(), "src long, dst long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, iters=3).collect()
+    }
+    assert len({got[n] for n in (0, 1, 2)} | {got[n] for n in (11, 12, 13)}) == 2
+
+
+def test_label_propagation_rejects_bad_iters(spark):
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        label_propagation(df, iters=0)
+
+
+def test_label_propagation_persisted_sink(spark):
+    sink: list = []
+    df = spark.createDataFrame(_two_cliques(), "src long, dst long")
+    out = label_propagation(df, iters=2, persisted_sink=sink)
+    n = out.count()
+    assert n == 8
+    assert len(sink) == 3  # sym edges + one label relation per round
+    for h in sink:
+        h.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# JSON ingestion — null/empty/malformed payloads survive as missing
+# ---------------------------------------------------------------------------
+
+def test_json_extract_missing_values(spark):
+    rows = [
+        (1, "click", '{"k": 5}'),
+        (2, "click", None),
+        (3, "click", ""),
+        (4, "click", "not json"),
+        (5, "view", '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    k = (
+        F.when(F.col("props").isNull() | (F.col("props") == ""), F.lit(None))
+        .otherwise(F.get_json_object("props", "$.k"))
+        .cast("long")
+    )
+    got = {
+        r["event_type"]: (r["n"], r["n_k"], r["sum_k"])
+        for r in df.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .collect()
+    }
+    assert got == {"click": (4, 1, 5), "view": (1, 0, None)}
