@@ -97,6 +97,8 @@ HEADLINE = [
     "curation_dsir_select",
     "graph_label_propagation",
     "events_json_stats",
+    "text_quality_ensemble",
+    "graph_kcore",
 ]
 
 

@@ -172,3 +172,90 @@ def bigram_lm_scores(
         "bits_total",
         (F.col("bits_total") / F.col("n_bigrams")).alias("avg_bits"),
     )
+
+
+def quality_ensemble(
+    docs: DataFrame,
+    *,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rank-ensemble quality blending — combine several weak quality
+    signals by quantile rank instead of by raw value (the standard
+    ensemble-filter move: raw signals live on incomparable scales, so
+    production filters average each signal's RANK; e.g. the multi-
+    signal blends in DataComp/Dolma-style curation).
+
+    Signals (all integer-exact, map-only per doc):
+
+    - ``n_tokens`` — whitespace token count (length signal),
+    - ``distinct_ppm`` — distinct tokens * 10^6 div n_tokens
+      (repetitiveness signal),
+    - ``mean_len_ppm`` — total token chars * 10^6 div n_tokens
+      (vocabulary-weight signal).
+
+    Each signal is scored ``1..n_bins`` against broadcast
+    ``percentile_disc`` BOUNDARIES (score = 1 + number of boundaries
+    the value strictly beats upward) — deliberately NOT ``ntile``: a
+    global rank window is a one-reducer sort over the corpus, while
+    the boundary form is one metadata-row aggregate plus a map-only
+    application (the shape behind events_user_rfm). Ties share a bin,
+    the quantile-binning semantics a filter consumer wants.
+
+    Returns ``(doc_id, n_tokens, distinct_ppm, mean_len_ppm, s_len,
+    s_distinct, s_wordlen, ensemble)`` with
+    ``ensemble = s_len + s_distinct + s_wordlen`` in ``[3, 3*n_bins]``.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("w")
+    ).where(F.size("w") >= 1)
+    sig = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(w)) * 1000000L div size(w)"
+        ).alias("distinct_ppm"),
+        F.expr(
+            "aggregate(w, 0L, (a, t) -> a + length(t)) * 1000000L div size(w)"
+        ).alias("mean_len_ppm"),
+    )
+    pcts = [i / n_bins for i in range(1, n_bins)]
+    metrics = ("n_tokens", "distinct_ppm", "mean_len_ppm")
+    bounds = sig.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m[0]}b{i}")
+            for m in metrics
+            for i, p in enumerate(pcts)
+        ]
+    )
+    out = sig.crossJoin(F.broadcast(bounds))
+    scores = {
+        m: sum(
+            (F.col(m) > F.col(f"{m[0]}b{i}")).cast("long")
+            for i in range(n_bins - 1)
+        )
+        + F.lit(1)
+        for m in metrics
+    }
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ppm",
+        "mean_len_ppm",
+        scores["n_tokens"].cast("long").alias("s_len"),
+        scores["distinct_ppm"].cast("long").alias("s_distinct"),
+        scores["mean_len_ppm"].cast("long").alias("s_wordlen"),
+        (
+            scores["n_tokens"]
+            + scores["distinct_ppm"]
+            + scores["mean_len_ppm"]
+        )
+        .cast("long")
+        .alias("ensemble"),
+    )

@@ -6264,6 +6264,118 @@ FROM ex GROUP BY event_type
 """
 
 
+def q_quality_ensemble(spark, sf_dir):
+    """Rank-ensemble quality blend (functions/scoring.quality_ensemble):
+    three integer signals (length, distinctness, mean word length)
+    each quantile-binned 1..8 against broadcast percentile_disc
+    boundaries, summed into one ensemble score. n_bins=8 keeps every
+    cut fraction i/8 an exact binary double, so the engines' cume_dist
+    >= p comparisons agree bit-for-bit (the equidepth-histogram
+    lesson). One metadata-row boundary aggregate + map-only scoring —
+    no global rank window at any corpus size."""
+    from pdf_to_xls_vision_spark.functions.scoring import quality_ensemble
+
+    return quality_ensemble(_t(spark, sf_dir, "documents"), n_bins=8)
+
+
+def _sql_quality_ensemble(n_bins: int = 8) -> str:
+    metrics = ("n_tokens", "distinct_ppm", "mean_len_ppm")
+    cuts = [(i, i / n_bins) for i in range(1, n_bins)]
+    bounds = ",\n    ".join(
+        f"min({m}) FILTER (cd_{m[0]} >= {p!r}) AS {m[0]}b{i - 1}"
+        for m in metrics
+        for i, p in cuts
+    )
+    scores = ",\n       ".join(
+        "(1 + "
+        + " + ".join(f"({m} > {m[0]}b{j})::INT" for j in range(n_bins - 1))
+        + f")::BIGINT AS s_{alias}"
+        for m, alias in zip(metrics, ("len", "distinct", "wordlen"))
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_tokens,
+         CAST(len(list_distinct(w)) * 1000000 // len(w) AS BIGINT)
+           AS distinct_ppm,
+         CAST(list_sum(list_transform(w, t -> length(t))) * 1000000
+              // len(w) AS BIGINT) AS mean_len_ppm
+  FROM w WHERE len(w) >= 1
+),
+cd AS (
+  SELECT *,
+         cume_dist() OVER (ORDER BY n_tokens) AS cd_n,
+         cume_dist() OVER (ORDER BY distinct_ppm) AS cd_d,
+         cume_dist() OVER (ORDER BY mean_len_ppm) AS cd_m
+  FROM sig
+),
+b AS (
+  SELECT
+    {bounds}
+  FROM cd
+),
+sc AS (
+  SELECT doc_id, n_tokens, distinct_ppm, mean_len_ppm,
+       {scores}
+  FROM sig, b
+)
+SELECT doc_id, n_tokens, distinct_ppm, mean_len_ppm,
+       s_len, s_distinct, s_wordlen,
+       (s_len + s_distinct + s_wordlen)::BIGINT AS ensemble
+FROM sc
+"""
+
+
+def q_graph_kcore(spark, sf_dir):
+    """3-core of the co-purchase graph (functions/graph.kcore_membership,
+    6 peeling rounds — fixpoint within 6 on all test SFs, pinned by
+    pytest): the density filter that strips hangers-on from the
+    support>=2 graph before community work. Per-round edge relations
+    are localCheckpoint'ed inside the operator (lineage truncation —
+    the persist-only chain measured exponential plan-analysis blowup),
+    so no persisted handles ride on the result."""
+    from pdf_to_xls_vision_spark.functions.graph import kcore_membership
+
+    li = _t(spark, sf_dir, "lineitem")
+    tup = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        tup.join(
+            tup.select("l_orderkey", F.col("l_partkey").alias("p2")),
+            "l_orderkey",
+        )
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    out = kcore_membership(edges, k=3, rounds=6)
+    return out.select(F.col("node").alias("part_id"), "core_deg")
+
+
+def _sql_graph_kcore() -> str:
+    from pdf_to_xls_vision_spark.functions.graph import kcore_membership_sql
+
+    return f"""
+WITH tup AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cand AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM tup a JOIN tup b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+e AS (SELECT u AS src, v AS dst FROM cand),
+{kcore_membership_sql("e", k=3, rounds=6)}
+SELECT node AS part_id, core_deg FROM core
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6413,6 +6525,8 @@ QUERIES = {
     "curation_dsir_select": q_dsir_select,
     "graph_label_propagation": q_graph_label_propagation,
     "events_json_stats": q_events_json_stats,
+    "text_quality_ensemble": q_quality_ensemble,
+    "graph_kcore": q_graph_kcore,
 }
 
 ORACLES = {
@@ -6550,4 +6664,6 @@ ORACLES = {
     "curation_dsir_select": SQL_DSIR_SELECT,
     "graph_label_propagation": _sql_graph_label_propagation(),
     "events_json_stats": SQL_EVENTS_JSON_STATS,
+    "text_quality_ensemble": _sql_quality_ensemble(),
+    "graph_kcore": _sql_graph_kcore(),
 }

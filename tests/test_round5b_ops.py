@@ -182,3 +182,137 @@ def test_json_extract_missing_values(spark):
         .collect()
     }
     assert got == {"click": (4, 1, 5), "view": (1, 0, None)}
+
+
+# ---------------------------------------------------------------------------
+# quality_ensemble — scores vs a sequential quantile model
+# ---------------------------------------------------------------------------
+
+def _ensemble_model(docs, n_bins):
+    sig = []
+    for d, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        if not ws:
+            continue
+        n = len(ws)
+        sig.append(
+            (
+                d,
+                n,
+                len(set(ws)) * 1_000_000 // n,
+                sum(len(w) for w in ws) * 1_000_000 // n,
+            )
+        )
+    cuts = [i / n_bins for i in range(1, n_bins)]
+
+    def bounds(vals):
+        sv = sorted(vals)
+        m = len(sv)
+        # percentile_disc(p): smallest value with cume_dist >= p
+        out = []
+        for p in cuts:
+            for j, v in enumerate(sv, 1):
+                if j / m >= p:
+                    out.append(v)
+                    break
+        return out
+
+    bs = [bounds([s[i] for s in sig]) for i in (1, 2, 3)]
+    rows = []
+    for d, *vals in sig:
+        scs = [
+            1 + sum(v > b for b in bs[i]) for i, v in enumerate(vals)
+        ]
+        rows.append((d, *vals, *scs, sum(scs)))
+    return sorted(rows)
+
+
+def test_quality_ensemble_matches_model(spark):
+    from pdf_to_xls_vision_spark.functions.scoring import quality_ensemble
+
+    docs = [
+        (1, "a a a a a a"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "x"),
+        (5, "longwordshere everywhere throughout extensive vocabulary"),
+        (6, "b b c c d d e e f f g g h h"),
+        (7, ""),  # no tokens: excluded
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in quality_ensemble(df, n_bins=4).collect())
+    assert got == _ensemble_model(docs, 4)
+
+
+def test_quality_ensemble_rejects_bad_bins(spark):
+    from pdf_to_xls_vision_spark.functions.scoring import quality_ensemble
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        quality_ensemble(df, n_bins=1)
+
+
+# ---------------------------------------------------------------------------
+# kcore_membership — exact core vs a sequential peeling model
+# ---------------------------------------------------------------------------
+
+def _kcore_model(edges, k):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(nb) for n, nb in adj.items()}
+
+
+def test_kcore_matches_model(spark):
+    from pdf_to_xls_vision_spark.functions.graph import kcore_membership
+
+    # a 4-clique (3-core) with a pendant path hanging off it, plus a
+    # triangle (2-core only) — peeling must strip the path AND the
+    # triangle for k=3
+    edges = (
+        [(a, b) for a in (0, 1, 2, 3) for b in (0, 1, 2, 3) if a < b]
+        + [(3, 4), (4, 5)]
+        + [(10, 11), (11, 12), (10, 12)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["core_deg"]
+        for r in kcore_membership(df, k=3, rounds=8).collect()
+    }
+    assert got == _kcore_model(edges, 3)
+    assert set(got) == {0, 1, 2, 3}
+
+
+def test_kcore_fixpoint_early_exit_equals_full_unroll(spark):
+    from pdf_to_xls_vision_spark.functions.graph import kcore_membership
+
+    # long chain into a triangle: k=2 peels one chain node per round,
+    # so rounds larger than needed must not change the answer
+    edges = [(i, i + 1) for i in range(6)] + [(6, 7), (7, 8), (6, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(
+        tuple(r) for r in kcore_membership(df, k=2, rounds=6).collect()
+    )
+    b = sorted(
+        tuple(r) for r in kcore_membership(df, k=2, rounds=20).collect()
+    )
+    assert a == b == [(6, 2), (7, 2), (8, 2)]
+
+
+def test_kcore_rejects_bad_params(spark):
+    from pdf_to_xls_vision_spark.functions.graph import kcore_membership
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore_membership(df, k=0)
+    with pytest.raises(ValueError):
+        kcore_membership(df, k=2, rounds=0)
