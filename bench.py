@@ -99,6 +99,7 @@ HEADLINE = [
     "events_json_stats",
     "text_quality_ensemble",
     "graph_kcore",
+    "dedup_containment_join",
 ]
 
 

@@ -1006,3 +1006,158 @@ def simhash_near_dups(
         F.col("id_b").alias("doc_b"),
         "hamming",
     )
+
+
+def containment_prefix_join(
+    docs: DataFrame,
+    *,
+    threshold_pct: int = 90,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 3,
+    persisted_sink: list | None = None,
+) -> DataFrame:
+    """EXACT set-containment self-join at ``threshold_pct/100`` —
+    ordered pairs where ``C(A→B) = |A ∩ B| / |A| >= t``. The
+    ASYMMETRIC complement to :func:`jaccard_prefix_join`: Jaccard
+    misses a short document wholly quoted inside a long one (the
+    union term swamps it), while containment is exactly the
+    quote/boilerplate-wrapper/subset-page detector (Broder's
+    "roughly contained" relation, the ProbeCount/PPJoin containment
+    variant).
+
+    Candidate principle: give tokens the same global rarity order
+    (ascending document frequency, then token). If ``C(A→B) >= t``
+    then ``|A ∩ B| >= ceil(t·n_a)``, so A's prefix — its
+    ``n_a − ceil(t·n_a) + 1`` rarest tokens — must intersect B's FULL
+    set (if it missed, the intersection could only use A's remaining
+    ``ceil(t·n_a) − 1`` tokens). Candidates therefore join A-PREFIX
+    tokens against the full posting list — the probe side is each
+    doc's rarest tokens, so the hot posting lists (common shingles)
+    are probed only by docs made almost entirely of commoner tokens;
+    the join stays bucketed by construction, never all-pairs.
+
+    Two lossless prunes on the candidate rows:
+
+    - size filter: ``n_b >= ceil(t·n_a)`` (the intersection can never
+      exceed ``n_b``);
+    - positional filter: a prefix token at A-rank ``ra`` bounds the
+      intersection by ``1 + n_a − ra``; the globally minimal shared
+      token of a qualifying pair sits at
+      ``rank <= n_a − ceil(t·n_a) + 1`` (inside the prefix) with
+      bound ``>= ceil(t·n_a)``, so its match row always survives.
+
+    The verify is exact: ``size(array_intersect(toks_a, toks_b))``
+    after two doc-keyed joins, keep ``100·n_inter >= t·n_a``
+    (integer-equivalent to ``n_inter >= ceil(t·n_a/100)``). The
+    DuckDB oracle replays ONLY the prefix+size candidates (no
+    positional filter) + the same verify, so a driver hash match is a
+    cross-engine proof the positional prune is lossless, on top of
+    the brute-force pytest.
+
+    Returns ``(doc_a, doc_b, n_inter, n_a, n_b, containment_pct)``
+    with ``containment_pct = 100·n_inter div n_a`` (integer-exact).
+    Same shuffle budget as the Jaccard form: token df aggregate, df
+    join on token, one per-doc rank window, prefix×posting join,
+    pair-scoped verify. ``persisted_sink`` persists the doc-set and
+    token relations (each feeds multiple branches).
+    """
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError("threshold_pct must be in [1, 100]")
+    from pyspark.sql.window import Window
+
+    t = threshold_pct
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    if shingle <= 1:
+        grams = words
+    else:
+        grams = F.when(
+            F.size(words) >= shingle,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (shingle - 1)),
+                lambda i: F.array_join(F.slice(words, i, shingle), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    doc_sets = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(grams).alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        doc_sets = doc_sets.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(doc_sets)
+    toks = doc_sets.select(
+        "doc_id", F.explode("toks").alias("token"), "n_tokens"
+    )
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(toks)
+    freq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    need = F.expr(f"({t} * n_tokens + 99) div 100")
+    pref = (
+        toks.join(freq, "token")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.col("n_tokens") - need + F.lit(1))
+        .select("doc_id", "token", "n_tokens", "rk")
+    )
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        "token",
+        F.col("n_tokens").alias("n_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    pb = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        "token",
+        F.col("n_tokens").alias("n_b"),
+    )
+    need_a = F.expr(f"({t} * n_a + 99) div 100")
+    cand = (
+        pa.join(pb, "token")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("n_b") >= need_a)
+            # positional filter (lossless — see docstring)
+            & (F.lit(1) + F.col("n_a") - F.col("rk_a") >= need_a)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_tokens").alias("n_a"),
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_tokens").alias("n_b"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("n_inter"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+        .where(F.lit(100) * F.col("n_inter") >= F.lit(t) * F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("100 * n_inter div n_a").cast("long").alias(
+                "containment_pct"
+            ),
+        )
+    )

@@ -6376,6 +6376,77 @@ SELECT node AS part_id, core_deg FROM core
 """
 
 
+def q_containment_join(spark, sf_dir):
+    """EXACT 3-gram set-containment >= 0.9 self-join
+    (functions/dedup.containment_prefix_join) — ordered pairs where
+    doc_a's shingle set is >=90% inside doc_b (quote / subset-page /
+    boilerplate-wrapper detection; the asymmetric complement to
+    dedup_jaccard_prefix_join). A-prefix tokens probe the full
+    posting list, size + positional prunes are lossless, verify is an
+    exact array_intersect. The oracle replays candidates WITHOUT the
+    positional filter, so the hash match doubles as a cross-engine
+    losslessness proof. Doc-set and token relations persisted; handles
+    ride as ``_ptxv_persisted``."""
+    from pdf_to_xls_vision_spark.functions.dedup import (
+        containment_prefix_join,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sink: list = []
+    out = containment_prefix_join(
+        docs, threshold_pct=90, shingle=3, persisted_sink=sink
+    )
+    out._ptxv_persisted = sink
+    return out
+
+
+SQL_CONTAINMENT_JOIN = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 FOR i IN range(1, len(w) - 1)]) AS token
+  FROM words WHERE len(w) >= 3
+),
+freq AS (SELECT token, count(*)::BIGINT AS df FROM toks GROUP BY token),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+ranked AS (
+  SELECT t.doc_id, t.token, s.n,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.df, t.token) AS rk
+  FROM toks t JOIN freq f USING (token) JOIN sizes s USING (doc_id)
+),
+pref AS (
+  SELECT doc_id, token, n FROM ranked
+  WHERE rk <= n - ((90 * n + 99) // 100) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, t.doc_id AS doc_b
+  FROM pref a
+  JOIN toks t ON t.token = a.token AND t.doc_id <> a.doc_id
+  JOIN sizes sb ON sb.doc_id = t.doc_id
+  WHERE sb.n >= (90 * a.n + 99) // 100
+),
+tb AS (SELECT tb.doc_id AS doc_b, tb.token FROM toks tb),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN tb ON tb.doc_b = c.doc_b AND tb.token = ta.token
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b,
+       (100 * i.n_inter // sa.n)::BIGINT AS containment_pct
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 100 * i.n_inter >= 90 * sa.n
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6527,6 +6598,7 @@ QUERIES = {
     "events_json_stats": q_events_json_stats,
     "text_quality_ensemble": q_quality_ensemble,
     "graph_kcore": q_graph_kcore,
+    "dedup_containment_join": q_containment_join,
 }
 
 ORACLES = {
@@ -6666,4 +6738,5 @@ ORACLES = {
     "events_json_stats": SQL_EVENTS_JSON_STATS,
     "text_quality_ensemble": _sql_quality_ensemble(),
     "graph_kcore": _sql_graph_kcore(),
+    "dedup_containment_join": SQL_CONTAINMENT_JOIN,
 }

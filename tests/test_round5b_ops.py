@@ -316,3 +316,69 @@ def test_kcore_rejects_bad_params(spark):
         kcore_membership(df, k=0)
     with pytest.raises(ValueError):
         kcore_membership(df, k=2, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# containment_prefix_join — completeness + exactness vs all-pairs model
+# ---------------------------------------------------------------------------
+
+def _containment_model(docs, t_pct, shingle):
+    sets = {}
+    for d, text in docs:
+        ws = [w for w in text.split(" ") if w]
+        if len(ws) >= shingle:
+            sets[d] = {
+                " ".join(ws[i : i + shingle])
+                for i in range(len(ws) - shingle + 1)
+            }
+    out = set()
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            inter = len(sa & sb)
+            if 100 * inter >= t_pct * len(sa):
+                out.add(
+                    (a, b, inter, len(sa), len(sb), 100 * inter // len(sa))
+                )
+    return out
+
+
+@pytest.mark.parametrize("t_pct", [70, 90, 100])
+def test_containment_join_matches_brute_force(spark, t_pct):
+    from pdf_to_xls_vision_spark.functions.dedup import (
+        containment_prefix_join,
+    )
+
+    base = "a b c d e f g h i j k l"
+    docs = [
+        (1, base),                      # contained in 2 and 4
+        (2, base + " m n o p q r"),     # superset of 1
+        (3, "z y x w v u t s"),         # unrelated
+        (4, base),                      # exact dup of 1
+        (5, "a b c d e f zz yy xx"),    # partial overlap with 1
+        (6, "m n o p q r s t u v w x competing overlap doc here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        tuple(r)
+        for r in containment_prefix_join(
+            df, threshold_pct=t_pct, shingle=3
+        ).collect()
+    }
+    assert got == _containment_model(docs, t_pct, 3)
+    if t_pct == 90:
+        # the asymmetry is the point: 1 ⊂ 2 but not 2 ⊂ 1
+        pairs = {(a, b) for a, b, *_ in got}
+        assert (1, 2) in pairs and (2, 1) not in pairs
+        assert (1, 4) in pairs and (4, 1) in pairs  # exact dups: both ways
+
+
+def test_containment_join_rejects_bad_threshold(spark):
+    from pdf_to_xls_vision_spark.functions.dedup import (
+        containment_prefix_join,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        containment_prefix_join(df, threshold_pct=0)
