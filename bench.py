@@ -100,6 +100,7 @@ HEADLINE = [
     "text_quality_ensemble",
     "graph_kcore",
     "dedup_containment_join",
+    "profile_winsorize_value",
 ]
 
 

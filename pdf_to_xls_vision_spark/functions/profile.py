@@ -138,3 +138,75 @@ def equidepth_histogram(
             F.max("vq").alias("hi_q"),
         )
     )
+
+
+def winsorize_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    *,
+    lo_eighths: int = 1,
+    hi_eighths: int = 7,
+) -> DataFrame:
+    """Per-group winsorization report — clip a numeric column to its
+    group's [lo, hi] discrete percentiles and report how much mass
+    moved (the numeric-feature hygiene pass run before a value column
+    feeds training: sensor spikes / fat-finger amounts get pinned to
+    robust bounds instead of dropped).
+
+    Cut fractions are eighths (``lo_eighths/8``, ``hi_eighths/8``) so
+    every boundary probability is an exact binary double and the
+    engines' ``cume_dist >= p`` comparisons agree bit-for-bit (the
+    equidepth-histogram / quality-ensemble convention);
+    ``percentile_disc`` picks ACTUAL data values, so bounds and
+    clipped sums stay integer-exact end to end (values enter as
+    floor-milli integers).
+
+    Scale shape: one per-group ``percentile_disc`` aggregate (group
+    cardinality rows — metadata scale for real group keys), broadcast
+    back on the group key, map-only clipping, one final per-group hash
+    aggregate. Never a global sort or rank window over the fact rows.
+
+    Returns per group: ``(group, n_rows, lo_bound_milli,
+    hi_bound_milli, n_clipped_lo, n_clipped_hi, sum_milli,
+    sum_winsorized_milli)``.
+    """
+    if not 0 <= lo_eighths < hi_eighths <= 8:
+        raise ValueError("need 0 <= lo_eighths < hi_eighths <= 8")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col) * 1000).cast("long").alias("v_milli"),
+    )
+    bounds = base.groupBy("grp").agg(
+        F.expr(
+            f"percentile_disc({lo_eighths}/8) WITHIN GROUP (ORDER BY v_milli)"
+        ).alias("lo_b"),
+        F.expr(
+            f"percentile_disc({hi_eighths}/8) WITHIN GROUP (ORDER BY v_milli)"
+        ).alias("hi_b"),
+    )
+    w = F.greatest("lo_b", F.least("hi_b", F.col("v_milli")))
+    return (
+        base.join(F.broadcast(bounds), "grp")
+        .select(
+            "grp",
+            "v_milli",
+            "lo_b",
+            "hi_b",
+            w.alias("w_milli"),
+        )
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("lo_b").cast("long").alias("lo_bound_milli"),
+            F.min("hi_b").cast("long").alias("hi_bound_milli"),
+            F.sum((F.col("v_milli") < F.col("lo_b")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum((F.col("v_milli") > F.col("hi_b")).cast("long"))
+            .cast("long")
+            .alias("n_clipped_hi"),
+            F.sum("v_milli").cast("long").alias("sum_milli"),
+            F.sum("w_milli").cast("long").alias("sum_winsorized_milli"),
+        )
+    )

@@ -6447,6 +6447,49 @@ WHERE 100 * i.n_inter >= 90 * sa.n
 """
 
 
+def q_winsorize_value(spark, sf_dir):
+    """Per-event-type winsorization report
+    (functions/profile.winsorize_stats): clip event values to the
+    type's [1/8, 7/8] discrete percentiles (exact binary cut
+    fractions, integer-milli values) and report clipped counts + mass
+    moved. One metadata-scale bounds aggregate broadcast back, map-only
+    clipping, one final hash aggregate."""
+    from pdf_to_xls_vision_spark.functions.profile import winsorize_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize_stats(ev, "value", "event_type")
+
+
+SQL_WINSORIZE_VALUE = """
+WITH base AS (
+  SELECT event_type AS grp, floor(value * 1000)::BIGINT AS v_milli
+  FROM events
+),
+cd AS (
+  SELECT grp, v_milli,
+         cume_dist() OVER (PARTITION BY grp ORDER BY v_milli) AS c
+  FROM base
+),
+b AS (
+  SELECT grp,
+         min(v_milli) FILTER (c >= 0.125) AS lo_b,
+         min(v_milli) FILTER (c >= 0.875) AS hi_b
+  FROM cd GROUP BY grp
+)
+SELECT base.grp AS event_type,
+       count(*)::BIGINT AS n_rows,
+       min(lo_b)::BIGINT AS lo_bound_milli,
+       min(hi_b)::BIGINT AS hi_bound_milli,
+       CAST(sum((v_milli < lo_b)::INT) AS BIGINT) AS n_clipped_lo,
+       CAST(sum((v_milli > hi_b)::INT) AS BIGINT) AS n_clipped_hi,
+       CAST(sum(v_milli) AS BIGINT) AS sum_milli,
+       CAST(sum(greatest(lo_b, least(hi_b, v_milli))) AS BIGINT)
+         AS sum_winsorized_milli
+FROM base JOIN b USING (grp)
+GROUP BY base.grp
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6599,6 +6642,7 @@ QUERIES = {
     "text_quality_ensemble": q_quality_ensemble,
     "graph_kcore": q_graph_kcore,
     "dedup_containment_join": q_containment_join,
+    "profile_winsorize_value": q_winsorize_value,
 }
 
 ORACLES = {
@@ -6739,4 +6783,5 @@ ORACLES = {
     "text_quality_ensemble": _sql_quality_ensemble(),
     "graph_kcore": _sql_graph_kcore(),
     "dedup_containment_join": SQL_CONTAINMENT_JOIN,
+    "profile_winsorize_value": SQL_WINSORIZE_VALUE,
 }

@@ -382,3 +382,55 @@ def test_containment_join_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         containment_prefix_join(df, threshold_pct=0)
+
+
+# ---------------------------------------------------------------------------
+# winsorize_stats — bounds and clipped mass vs a sequential model
+# ---------------------------------------------------------------------------
+
+def test_winsorize_stats_matches_model(spark):
+    from pdf_to_xls_vision_spark.functions.profile import winsorize_stats
+
+    vals = {
+        "a": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0],  # spike at top
+        "b": [-50.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0],  # spike at bottom
+    }
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = {
+        r["grp"]: tuple(r)[1:]
+        for r in winsorize_stats(df, "value", "grp").collect()
+    }
+
+    def model(vs):
+        m = sorted(int(v * 1000) // 1 for v in vs)
+        mi = [int(__import__("math").floor(v * 1000)) for v in vs]
+        m = sorted(mi)
+        n = len(m)
+
+        def pdisc(p):
+            for j, v in enumerate(m, 1):
+                if j / n >= p:
+                    return v
+
+        lo, hi = pdisc(1 / 8), pdisc(7 / 8)
+        wz = [max(lo, min(hi, v)) for v in mi]
+        return (
+            n,
+            lo,
+            hi,
+            sum(v < lo for v in mi),
+            sum(v > hi for v in mi),
+            sum(mi),
+            sum(wz),
+        )
+
+    assert got == {g: model(vs) for g, vs in vals.items()}
+
+
+def test_winsorize_stats_rejects_bad_cuts(spark):
+    from pdf_to_xls_vision_spark.functions.profile import winsorize_stats
+
+    df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
+    with pytest.raises(ValueError):
+        winsorize_stats(df, "value", "grp", lo_eighths=5, hi_eighths=4)
