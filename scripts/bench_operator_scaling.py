@@ -92,6 +92,15 @@ def main() -> None:
             lsh_candidate_pairs,
             minhash_signatures,
         )
+        from pdf_to_xls_vision_spark.functions.curation import (
+            dsir_select,
+        )
+        from pdf_to_xls_vision_spark.functions.dedup import (
+            containment_prefix_join,
+        )
+        from pdf_to_xls_vision_spark.functions.scoring import (
+            quality_ensemble,
+        )
         from pdf_to_xls_vision_spark.functions.text import lang_id_expr
 
         return {
@@ -106,6 +115,15 @@ def main() -> None:
             "dedup_chunks": lambda: dedup_chunks(docs),
             "text_lang_id": lambda: docs.select(
                 "doc_id", lang_id_expr("text").alias("lang_pred")
+            ),
+            "dedup_containment": lambda: containment_prefix_join(
+                docs, threshold_pct=90, shingle=3
+            ),
+            "curation_dsir": lambda: dsir_select(
+                docs, F.col("lang") == "en"
+            ),
+            "text_quality_ensemble": lambda: quality_ensemble(
+                docs, n_bins=8
             ),
         }
 
