@@ -101,6 +101,7 @@ HEADLINE = [
     "graph_kcore",
     "dedup_containment_join",
     "profile_winsorize_value",
+    "window_forward_fill",
 ]
 
 

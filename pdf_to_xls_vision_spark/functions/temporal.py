@@ -350,3 +350,48 @@ def asof_join_nearest(
         ],
         F.abs(F.col("__c.__t") - F.col("__t")).cast("long").alias(f"{prefix}distance"),
     )
+
+
+def forward_fill(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    fill_cols: Sequence[str],
+    *,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward (LOCF) gap fill — per key,
+    replace NULLs in ``fill_cols`` with the most recent non-null value
+    in ``order_col`` order (the standard sparse-sensor / feature-store
+    hygiene pass before a time series feeds training; interpolation
+    would fabricate values, LOCF only repeats observed ones).
+
+    One window per key (``last(..., ignorenulls=True)`` over the
+    unbounded-preceding frame) — a SINGLE shuffle on the key shared by
+    every filled column; rows with no prior observation stay NULL (no
+    backfill — that would leak the future into features). Pass
+    ``tiebreak_col`` when ``order_col`` can tie (equal timestamps
+    otherwise make the carried value partitioning-dependent).
+
+    Returns the input columns with each ``c`` in ``fill_cols`` filled
+    and a ``c + '_filled'`` flag (1 where LOCF supplied the value).
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in fill_cols:
+        carried = F.last(F.col(c), ignorenulls=True).over(w)
+        out = out.withColumn(
+            f"{c}_filled",
+            (F.col(c).isNull() & carried.isNotNull())
+            .cast("long"),
+        ).withColumn(c, carried)
+    return out

@@ -6490,6 +6490,59 @@ GROUP BY base.grp
 """
 
 
+def q_forward_fill_value(spark, sf_dir):
+    """LOCF gap fill (functions/temporal.forward_fill): per user, the
+    last PURCHASE amount carried forward at every event — value is
+    observed only on purchase rows, every other row inherits the most
+    recent purchase (integer milli; rows before the first purchase
+    stay NULL — no backfill, no future leakage). ONE shuffle on
+    user_id; (ts, event_id) total order so ties are engine-independent."""
+    from pdf_to_xls_vision_spark.functions.temporal import forward_fill
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        _epoch_of("ts").alias("ts_epoch"),
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 1000).cast("long"),
+        ).alias("last_purchase_milli"),
+    )
+    return forward_fill(
+        ev,
+        "user_id",
+        "ts_epoch",
+        ["last_purchase_milli"],
+        tiebreak_col="event_id",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        "event_type",
+        "last_purchase_milli",
+        "last_purchase_milli_filled",
+    )
+
+
+SQL_FORWARD_FILL_VALUE = """
+WITH base AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_epoch,
+         event_type,
+         CASE WHEN event_type = 'purchase'
+              THEN floor(value * 1000)::BIGINT END AS v
+  FROM events
+)
+SELECT event_id, user_id, ts_epoch, event_type,
+       last_value(v IGNORE NULLS) OVER w AS last_purchase_milli,
+       (v IS NULL AND last_value(v IGNORE NULLS) OVER w IS NOT NULL)::BIGINT
+         AS last_purchase_milli_filled
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6643,6 +6696,7 @@ QUERIES = {
     "graph_kcore": q_graph_kcore,
     "dedup_containment_join": q_containment_join,
     "profile_winsorize_value": q_winsorize_value,
+    "window_forward_fill": q_forward_fill_value,
 }
 
 ORACLES = {
@@ -6784,4 +6838,5 @@ ORACLES = {
     "graph_kcore": _sql_graph_kcore(),
     "dedup_containment_join": SQL_CONTAINMENT_JOIN,
     "profile_winsorize_value": SQL_WINSORIZE_VALUE,
+    "window_forward_fill": SQL_FORWARD_FILL_VALUE,
 }

@@ -434,3 +434,50 @@ def test_winsorize_stats_rejects_bad_cuts(spark):
     df = spark.createDataFrame([("a", 1.0)], "grp string, value double")
     with pytest.raises(ValueError):
         winsorize_stats(df, "value", "grp", lo_eighths=5, hi_eighths=4)
+
+
+# ---------------------------------------------------------------------------
+# forward_fill — LOCF vs a sequential model; no backfill; tie safety
+# ---------------------------------------------------------------------------
+
+def test_forward_fill_matches_model(spark):
+    from pdf_to_xls_vision_spark.functions.temporal import forward_fill
+
+    rows = [
+        # (id, key, t, v)
+        (1, "a", 1, None),   # before first obs: stays NULL
+        (2, "a", 2, 10),
+        (3, "a", 3, None),   # -> 10, filled
+        (4, "a", 4, 20),
+        (5, "a", 5, None),   # -> 20, filled
+        (6, "b", 1, None),   # other key: own lineage, stays NULL
+        (7, "b", 2, 7),
+        (8, "b", 3, None),   # -> 7
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, t long, v long")
+    got = {
+        r["id"]: (r["v"], r["v_filled"])
+        for r in forward_fill(df, "k", "t", ["v"], tiebreak_col="id").collect()
+    }
+    assert got == {
+        1: (None, 0), 2: (10, 0), 3: (10, 1), 4: (20, 0), 5: (20, 1),
+        6: (None, 0), 7: (7, 0), 8: (7, 1),
+    }
+
+
+def test_forward_fill_tiebreak_deterministic(spark):
+    from pdf_to_xls_vision_spark.functions.temporal import forward_fill
+
+    # two observations at the SAME timestamp: the tiebreak column
+    # decides which one a later row inherits, independent of
+    # partitioning
+    rows = [(1, "a", 1, 100), (2, "a", 1, 200), (3, "a", 2, None)]
+    df = spark.createDataFrame(rows, "id long, k string, t long, v long")
+    for parts in (1, 16):
+        got = {
+            r["id"]: r["v"]
+            for r in forward_fill(
+                df.repartition(parts), "k", "t", ["v"], tiebreak_col="id"
+            ).collect()
+        }
+        assert got[3] == 200  # id=2 sorts last at t=1
