@@ -6543,6 +6543,93 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_epoch, event_id
 """
 
 
+def q_streaming_heavy_hitters(spark, sf_dir):
+    """Batch parity of the streaming token heavy-hitters
+    (streaming/heavy_hitters.py): documents streamed as 4 files
+    (maxFilesPerTrigger=1, so window contributions genuinely cross
+    micro-batch boundaries), synthetic event times spreading the
+    corpus over ~2 hours of 1-hour windows, far-future advancer doc
+    pushing the final watermark past every real window. Every (window,
+    word) with a final count >= 100 must appear exactly once with the
+    exact batch count — GROUP BY + HAVING parity. The advancer's own
+    window never finalizes and stays out of the sink by construction.
+
+    The advancer is written as a SEPARATE, LATER file (append after
+    the 4 real files), never repartitioned in with the corpus: the
+    file source orders files by modification time, and an advancer
+    batched before a real file would push the watermark 30 days ahead
+    and silently drop every later real token as late data (observed
+    as a flaky VALUE MISMATCH before this ordering was pinned). Real
+    files are safe in ANY order among themselves — the corpus spans
+    2 hours and the watermark delay is 2 hours, so no real batch can
+    finalize a real window early."""
+    import atexit
+    import shutil
+
+    from pdf_to_xls_vision_spark.streaming.heavy_hitters import (
+        token_heavy_hitters,
+    )
+
+    base = tempfile.mkdtemp(prefix="ptxv_stream_hh_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    in_dir, out_dir, ckpt = (os.path.join(base, d) for d in ("in", "out", "ck"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "text",
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("doc_id") % 7200
+        ).alias("ts"),
+    )
+    adv = spark.range(1).select(
+        F.lit("__advancer__").alias("text"),
+        F.timestamp_seconds(F.lit(1704067200 + 30 * 86400)).alias("ts"),
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    adv.coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema("text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        token_heavy_hitters(
+            stream, window_duration="1 hour", watermark="2 hours",
+            min_count=100,
+        )
+        .select(
+            F.unix_timestamp("window_start").alias("window_start_epoch"),
+            "word",
+            "n",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming parity run 'heavy_hitters' timed out after 600s — "
+            "refusing to compare a partial sink against the oracle"
+        )
+    return spark.read.parquet(out_dir)
+
+
+SQL_STREAMING_HEAVY_HITTERS = """
+WITH tok AS (
+  SELECT (floor((1704067200 + doc_id % 7200) / 3600) * 3600)::BIGINT
+           AS window_start_epoch,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents
+)
+SELECT window_start_epoch, word, count(*)::BIGINT AS n
+FROM tok
+GROUP BY 1, 2
+HAVING count(*) >= 100
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6697,6 +6784,7 @@ QUERIES = {
     "dedup_containment_join": q_containment_join,
     "profile_winsorize_value": q_winsorize_value,
     "window_forward_fill": q_forward_fill_value,
+    "streaming_heavy_hitters": q_streaming_heavy_hitters,
 }
 
 ORACLES = {
@@ -6839,4 +6927,5 @@ ORACLES = {
     "dedup_containment_join": SQL_CONTAINMENT_JOIN,
     "profile_winsorize_value": SQL_WINSORIZE_VALUE,
     "window_forward_fill": SQL_FORWARD_FILL_VALUE,
+    "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
 }

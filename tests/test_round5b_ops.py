@@ -481,3 +481,81 @@ def test_forward_fill_tiebreak_deterministic(spark):
             ).collect()
         }
         assert got[3] == 200  # id=2 sorts last at t=1
+
+
+# ---------------------------------------------------------------------------
+# streaming token heavy hitters — availableNow parity vs batch HAVING
+# ---------------------------------------------------------------------------
+
+def test_streaming_heavy_hitters_batch_parity(spark, tmp_path):
+    from pyspark.sql import functions as SF
+
+    from pdf_to_xls_vision_spark.streaming.heavy_hitters import (
+        token_heavy_hitters,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    base_epoch = 1704067200
+    rows = []
+    # window 0: 'hot' x12, 'warm' x5; window 1: 'hot' x6, 'cold' x2 —
+    # spread across many docs so files split the window contributions
+    for i in range(12):
+        rows.append((f"hot filler{i % 3}", base_epoch + 60 * i))
+    for i in range(5):
+        rows.append((f"warm pad{i}", base_epoch + 120 * i))
+    for i in range(6):
+        rows.append((f"hot other{i}", base_epoch + 3600 + 60 * i))
+    rows.append(("cold cold", base_epoch + 3600 + 30))
+    df = spark.createDataFrame(rows, "text string, epoch long").select(
+        "text", SF.timestamp_seconds("epoch").alias("ts")
+    )
+    df.repartition(3).write.mode("overwrite").parquet(in_dir)
+    adv = spark.createDataFrame(
+        [("__advancer__", base_epoch + 30 * 86400)], "text string, epoch long"
+    ).select("text", SF.timestamp_seconds("epoch").alias("ts"))
+    adv.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema("text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        token_heavy_hitters(
+            stream, window_duration="1 hour", watermark="2 hours",
+            min_count=5,
+        )
+        .select(
+            SF.unix_timestamp("window_start").alias("ws"), "word", "n"
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r["ws"], r["word"]): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (base_epoch, "hot"): 12,
+        (base_epoch, "warm"): 5,
+        (base_epoch + 3600, "hot"): 6,
+    }
+    # the advancer's own window never finalizes -> never in the sink
+    assert not any(w == "__advancer__" for _, w in got)
+
+
+def test_streaming_heavy_hitters_rejects_bad_min_count(spark):
+    from pdf_to_xls_vision_spark.streaming.heavy_hitters import (
+        token_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([("a", 0)], "text string, epoch long")
+    with pytest.raises(ValueError):
+        token_heavy_hitters(df, min_count=0)
