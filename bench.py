@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_containment_join",
     "profile_winsorize_value",
     "window_forward_fill",
+    "events_conversion_labels",
+    "agg_revenue_contribution",
 ]
 
 

@@ -6630,6 +6630,141 @@ HAVING count(*) >= 100
 """
 
 
+def q_events_conversion_labels(spark, sf_dir):
+    """Supervised-label generation (time-to-event): for every user
+    with a signup event, did a purchase follow within 7 days of the
+    FIRST signup, and after how long? The label-materialization pass a
+    churn/conversion trainer runs over the event log — the labels are
+    the training target, so they must be deterministic and leakage-
+    free (only events at or after the signup count; the window is
+    fixed, not data-dependent). Shapes: one per-user conditional
+    aggregate for the first signup, one user-keyed join back to
+    purchases, one final aggregate — every shuffle on user_id.
+    Output: (user_id, signup_epoch, converted, time_to_purchase_sec
+    — NULL when no purchase landed in the window)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _epoch_of("ts").alias("epoch"), "event_type"
+    )
+    signup = ev.where(F.col("event_type") == "signup").groupBy(
+        "user_id"
+    ).agg(F.min("epoch").alias("signup_epoch"))
+    joined = signup.join(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("epoch").alias("p_epoch")
+        ),
+        "user_id",
+        "left",
+    )
+    win = 7 * 86400
+    in_win = F.col("p_epoch").isNotNull() & (
+        (F.col("p_epoch") >= F.col("signup_epoch"))
+        & (F.col("p_epoch") <= F.col("signup_epoch") + win)
+    )
+    return (
+        joined.groupBy("user_id", "signup_epoch")
+        .agg(
+            F.min(F.when(in_win, F.col("p_epoch"))).alias("first_p")
+        )
+        .select(
+            "user_id",
+            "signup_epoch",
+            F.col("first_p").isNotNull().cast("long").alias("converted"),
+            (F.col("first_p") - F.col("signup_epoch"))
+            .cast("long")
+            .alias("time_to_purchase_sec"),
+        )
+    )
+
+
+SQL_EVENTS_CONVERSION_LABELS = """
+WITH e AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS epoch, event_type FROM events
+),
+signup AS (
+  SELECT user_id, min(epoch) AS signup_epoch FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+firstp AS (
+  SELECT s.user_id, s.signup_epoch, min(p.epoch) AS first_p
+  FROM signup s
+  LEFT JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+   AND p.epoch >= s.signup_epoch AND p.epoch <= s.signup_epoch + 604800
+  GROUP BY s.user_id, s.signup_epoch
+)
+SELECT user_id, signup_epoch,
+       (first_p IS NOT NULL)::BIGINT AS converted,
+       (first_p - signup_epoch)::BIGINT AS time_to_purchase_sec
+FROM firstp
+"""
+
+
+def q_agg_revenue_contribution(spark, sf_dir):
+    """Contribution analysis (ratio-to-report): each nation's exact
+    integer-ppm share of its region's revenue and of the global total
+    — the classic percent-of-total rollup, computed WITHOUT a second
+    scan: one nation-level aggregate, then window sums over the
+    (region) partition and the whole (25-row) aggregate. The windows
+    run on the AGGREGATE relation (metadata scale), never on the fact
+    table — the shape that survives any fact-table size. Revenue in
+    exact integer cents; shares as cents-based integer ppm."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        li.join(
+            F.broadcast(sup),
+            li.l_suppkey == sup.s_suppkey,
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "revenue_cents",
+        F.expr(
+            "revenue_cents * 1000000 div sum(revenue_cents) "
+            "OVER (PARTITION BY r_name)"
+        )
+        .cast("long")
+        .alias("region_share_ppm"),
+        F.expr(
+            "revenue_cents * 1000000 div sum(revenue_cents) OVER ()"
+        )
+        .cast("long")
+        .alias("global_share_ppm"),
+    )
+
+
+SQL_AGG_REVENUE_CONTRIBUTION = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         CAST(sum(floor(l.l_extendedprice * 100)::BIGINT) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT r_name, n_name, revenue_cents,
+       CAST(revenue_cents * 1000000 //
+            sum(revenue_cents) OVER (PARTITION BY r_name) AS BIGINT)
+         AS region_share_ppm,
+       CAST(revenue_cents * 1000000 //
+            sum(revenue_cents) OVER () AS BIGINT) AS global_share_ppm
+FROM per_nation
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6785,6 +6920,8 @@ QUERIES = {
     "profile_winsorize_value": q_winsorize_value,
     "window_forward_fill": q_forward_fill_value,
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
+    "events_conversion_labels": q_events_conversion_labels,
+    "agg_revenue_contribution": q_agg_revenue_contribution,
 }
 
 ORACLES = {
@@ -6928,4 +7065,6 @@ ORACLES = {
     "profile_winsorize_value": SQL_WINSORIZE_VALUE,
     "window_forward_fill": SQL_FORWARD_FILL_VALUE,
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
+    "events_conversion_labels": SQL_EVENTS_CONVERSION_LABELS,
+    "agg_revenue_contribution": SQL_AGG_REVENUE_CONTRIBUTION,
 }

@@ -559,3 +559,89 @@ def test_streaming_heavy_hitters_rejects_bad_min_count(spark):
     df = spark.createDataFrame([("a", 0)], "text string, epoch long")
     with pytest.raises(ValueError):
         token_heavy_hitters(df, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# conversion labels — leakage rules pinned against crafted timelines
+# ---------------------------------------------------------------------------
+
+def test_conversion_labels_leakage_and_window_rules(spark):
+    from pdf_to_xls_vision_spark.plans.queries import (
+        q_events_conversion_labels,
+    )
+    import tempfile, os
+    from pyspark.sql import functions as SF
+
+    day = 86400
+    rows = [
+        # u1: purchase 2 days after signup -> converted, ttp = 2d
+        (1, 10 * day, "signup"), (1, 12 * day, "purchase"),
+        # u2: purchase BEFORE signup only -> NOT converted (no leakage)
+        (2, 10 * day, "signup"), (2, 9 * day, "purchase"),
+        # u3: purchase 8 days after signup -> outside 7d window
+        (3, 10 * day, "signup"), (3, 18 * day, "purchase"),
+        # u4: two signups; window anchors on the FIRST; purchase 1 day
+        # after second signup = 6 days after first -> converted, ttp=6d
+        (4, 10 * day, "signup"), (4, 15 * day, "signup"),
+        (4, 16 * day, "purchase"),
+        # u5: purchase exactly at the 7d boundary -> converted
+        (5, 10 * day, "signup"), (5, 17 * day, "purchase"),
+        # u6: no signup -> not in output at all
+        (6, 10 * day, "purchase"),
+    ]
+    base = tempfile.mkdtemp(prefix="ptxv_convlab_")
+    df = spark.createDataFrame(
+        rows, "user_id long, epoch long, event_type string"
+    ).select(
+        SF.col("user_id"),
+        SF.timestamp_seconds("epoch").alias("ts"),
+        "event_type",
+        SF.lit(0.0).alias("value"),
+        SF.lit(0).cast("long").alias("event_id"),
+        SF.lit("").alias("props"),
+    )
+    df.write.mode("overwrite").parquet(os.path.join(base, "events.parquet"))
+    got = {
+        r["user_id"]: (r["converted"], r["time_to_purchase_sec"])
+        for r in q_events_conversion_labels(spark, base).collect()
+    }
+    assert got == {
+        1: (1, 2 * day),
+        2: (0, None),
+        3: (0, None),
+        4: (1, 6 * day),
+        5: (1, 7 * day),
+    }
+
+
+# ---------------------------------------------------------------------------
+# revenue contribution — shares are exact and sum consistently
+# ---------------------------------------------------------------------------
+
+def test_revenue_contribution_shares(spark):
+    from pdf_to_xls_vision_spark.plans.queries import (
+        q_agg_revenue_contribution,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_agg_revenue_contribution(spark, sf).collect()
+    assert rows
+    total = sum(r["revenue_cents"] for r in rows)
+    for r in rows:
+        assert (
+            r["global_share_ppm"]
+            == r["revenue_cents"] * 1_000_000 // total
+        )
+    by_region: dict = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    for rs in by_region.values():
+        rtot = sum(r["revenue_cents"] for r in rs)
+        for r in rs:
+            assert (
+                r["region_share_ppm"]
+                == r["revenue_cents"] * 1_000_000 // rtot
+            )
+        # floor-ppm shares sum to <= 1e6 and within one ppm per row
+        s = sum(r["region_share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= s <= 1_000_000
