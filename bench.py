@@ -104,6 +104,7 @@ HEADLINE = [
     "window_forward_fill",
     "events_conversion_labels",
     "agg_revenue_contribution",
+    "curation_negative_samples",
 ]
 
 

@@ -781,3 +781,90 @@ def dsir_select(
     return ranked.withColumn(
         "dsir_rank", F.row_number().over(w).cast("long")
     ).select("dsir_rank", "doc_id", "n_bigrams", "score_ppm")
+
+
+def negative_samples(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    exclude_same_source: bool = True,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training — for
+    every anchor document, ``k`` pseudo-random negative partners,
+    reproducible across runs, partitionings, and engines (the
+    retriever/embedding-training staple: in-batch negatives are
+    batch-dependent; this materializes a FIXED negative set so a
+    training run is replayable).
+
+    Randomness is the portable md5-60bit hash throughout, so the
+    sample is a pure function of the ids:
+
+    - candidate scope: anchor and candidate must share a hash bucket
+      (``h60(id) % n_buckets``) — the join is a bucket-keyed
+      self-join whose per-bucket cost is ``(N/B)^2``, tunable via
+      ``n_buckets``, NEVER an all-pairs cross join; because bucket
+      assignment is itself pseudo-random, restricting to a shared
+      bucket does not bias the sample (any candidate is equally
+      likely to share the anchor's bucket).
+    - ranking: candidates order by ``h60(anchor_id:cand_id)`` — an
+      independent pseudo-random draw per ORDERED pair, so each
+      anchor's negatives are an independent sample and (a, b) chosen
+      for anchor ``a`` implies nothing for anchor ``b``.
+    - optional hard filter: ``exclude_same_source`` drops candidates
+      from the anchor's own source (the standard false-negative guard
+      when near-duplicates cluster within a source).
+
+    Selection is the repo's two-phase salted
+    :func:`functions.relational.topk_per_group` — never one reducer
+    per anchor. Returns ``(anchor_id, neg_rank, neg_id, draw)`` with
+    ``draw`` the ranking hash (kept so downstream re-splits are
+    reproducible).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from pdf_to_xls_vision_spark.functions.hashing import h60
+    from pdf_to_xls_vision_spark.functions.relational import topk_per_group
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(source_col).alias("src"),
+        (h60(F.col(id_col).cast("string"), "negb") % n_buckets).alias("b"),
+    )
+    a = base.select(
+        F.col("id").alias("anchor_id"),
+        F.col("src").alias("a_src"),
+        "b",
+    )
+    c = base.select(
+        F.col("id").alias("neg_id"), F.col("src").alias("c_src"), "b"
+    )
+    pairs = a.join(c, "b").where(F.col("anchor_id") != F.col("neg_id"))
+    if exclude_same_source:
+        pairs = pairs.where(F.col("a_src") != F.col("c_src"))
+    scored = pairs.select(
+        "anchor_id",
+        "neg_id",
+        h60(
+            F.concat_ws(":", F.col("anchor_id"), F.col("neg_id")), "negr"
+        ).alias("draw"),
+    )
+    out = topk_per_group(
+        scored,
+        group_cols=["anchor_id"],
+        order_col="draw",
+        k=k,
+        descending=False,
+        tiebreak_col="neg_id",
+        rank_col="neg_rank",
+    )
+    return out.select(
+        "anchor_id",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "neg_id",
+        "draw",
+    )

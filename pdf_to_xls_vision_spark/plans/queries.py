@@ -6765,6 +6765,44 @@ FROM per_nation
 """
 
 
+def q_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (functions/curation.negative_samples): 5 reproducible negatives
+    per anchor doc, candidates scoped to a shared pseudo-random hash
+    bucket (bucket-keyed self-join, never all-pairs), ranked by an
+    independent per-pair hash draw, same-source candidates excluded
+    (false-negative guard). Selection via the two-phase salted
+    top-k."""
+    from pdf_to_xls_vision_spark.functions.curation import negative_samples
+
+    return negative_samples(
+        _t(spark, sf_dir, "documents"), k=5, n_buckets=64
+    )
+
+
+SQL_NEGATIVE_SAMPLES = f"""
+WITH base AS (
+  SELECT doc_id AS id, source AS src,
+         {h60_sql("CAST(doc_id AS VARCHAR)", "negb")} % 64 AS b
+  FROM documents
+),
+pairs AS (
+  SELECT a.id AS anchor_id, c.id AS neg_id,
+         {h60_sql("(a.id::VARCHAR || ':' || c.id::VARCHAR)", "negr")} AS draw
+  FROM base a JOIN base c ON a.b = c.b
+  WHERE a.id <> c.id AND a.src <> c.src
+),
+ranked AS (
+  SELECT anchor_id, neg_id, draw,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY draw ASC, neg_id ASC) AS rk
+  FROM pairs
+)
+SELECT anchor_id, rk::BIGINT AS neg_rank, neg_id, draw
+FROM ranked WHERE rk <= 5
+"""
+
+
 QUERIES = {
     # --- positions 0-49: the driver's per-round hard-oracle window.
     # The round-4 verdict verified the correctness driver checks exactly
@@ -6922,6 +6960,7 @@ QUERIES = {
     "streaming_heavy_hitters": q_streaming_heavy_hitters,
     "events_conversion_labels": q_events_conversion_labels,
     "agg_revenue_contribution": q_agg_revenue_contribution,
+    "curation_negative_samples": q_negative_samples,
 }
 
 ORACLES = {
@@ -7067,4 +7106,5 @@ ORACLES = {
     "streaming_heavy_hitters": SQL_STREAMING_HEAVY_HITTERS,
     "events_conversion_labels": SQL_EVENTS_CONVERSION_LABELS,
     "agg_revenue_contribution": SQL_AGG_REVENUE_CONTRIBUTION,
+    "curation_negative_samples": SQL_NEGATIVE_SAMPLES,
 }

@@ -645,3 +645,60 @@ def test_revenue_contribution_shares(spark):
         # floor-ppm shares sum to <= 1e6 and within one ppm per row
         s = sum(r["region_share_ppm"] for r in rs)
         assert 1_000_000 - len(rs) <= s <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# negative_samples — reproducible draws vs a sequential model
+# ---------------------------------------------------------------------------
+
+def _neg_model(rows, k, n_buckets, exclude_same_source=True):
+    base = [
+        (i, s, _h60(str(i), "negb") % n_buckets) for i, s in rows
+    ]
+    out = []
+    for aid, asrc, ab in base:
+        cands = [
+            (cid, _h60(f"{aid}:{cid}", "negr"))
+            for cid, csrc, cb in base
+            if cb == ab and cid != aid
+            and (not exclude_same_source or csrc != asrc)
+        ]
+        cands.sort(key=lambda t: (t[1], t[0]))
+        for rk, (cid, draw) in enumerate(cands[:k], 1):
+            out.append((aid, rk, cid, draw))
+    return sorted(out)
+
+
+def test_negative_samples_matches_model(spark):
+    from pdf_to_xls_vision_spark.functions.curation import negative_samples
+
+    rows = [(i, f"src{i % 4}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        tuple(r) for r in negative_samples(df, k=3, n_buckets=4).collect()
+    )
+    assert got == _neg_model(rows, 3, 4)
+    # hard guard: no negative shares the anchor's source
+    src = dict(rows)
+    for aid, _, nid, _ in got:
+        assert src[aid] != src[nid]
+
+
+def test_negative_samples_partitioning_independent(spark):
+    from pdf_to_xls_vision_spark.functions.curation import negative_samples
+
+    rows = [(i, f"src{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(tuple(r) for r in negative_samples(df.repartition(1), k=2, n_buckets=2).collect())
+    b = sorted(tuple(r) for r in negative_samples(df.repartition(16), k=2, n_buckets=2).collect())
+    assert a == b
+
+
+def test_negative_samples_guards(spark):
+    from pdf_to_xls_vision_spark.functions.curation import negative_samples
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        negative_samples(df, k=0)
+    with pytest.raises(ValueError):
+        negative_samples(df, n_buckets=0)
