@@ -247,6 +247,40 @@ gains ~31 near-identical replicas -> ~496 true pairs per original,
 2.74M total): wall per emitted pair fell ~550x. No operator shows
 superlinear cost against its own output volume — the shapes scale
 with work, not with input size squared.
+
+Session-3 additions (same protocol, re-run 2026-08-20; the legacy
+rows re-measured within noise of the table above):
+
+    operator               t(1x)   t(32x)  wall ratio  output ratio
+    dedup_containment      2.66 s  81.1 s  30.5x    10,902x (pairs!)
+    curation_dsir          1.00 s   2.23 s  2.2x         1x (top-k)
+    text_quality_ensemble  0.33 s   0.19 s  0.6x        32x
+
+Reading: the containment join tracks the Jaccard-prefix pattern —
+30.5x wall against 32x data while its QUALIFYING pair output grows
+10,902x (the replica corpus is quadratic in duplicates by
+construction); wall per emitted pair fell ~350x, and the wall ratio
+stays at the data ratio, not the pair ratio — the prefix+posting
+candidate shape never goes all-pairs. DSIR (2.2x for 32x data) is
+aggregate-bound: two passes over the gram relation into a bounded
+2048-row weight table; the fixed top-k output keeps the tail
+constant. The ensemble scorer stays fixed-cost-bound like the other
+map-only operators.
+
+## Measurement lineage (round 5)
+
+Two 32k-doc series were run this round on the same pinned corpus and
+protocol; every raw repeat is recorded, nothing silently replaced:
+
+1. **Session 2 (2026-08-19), noisier host**: best-of 161.2 / 547.3 /
+   1,175.7 docs/sec -> **0.849**; one local[32] repeat stormed to
+   63.9 s vs 27.2 s best. The extraction code was byte-identical to
+   round 4's series-6 code.
+2. **Session 3 (2026-08-20), final code (registry work only — the
+   extraction path is unchanged this round)**: best-of-3 169.9 /
+   603.0 / 1,317.8 docs/sec -> **0.887** (headline table above; raw
+   repeats recorded there). Matches round 4's quiet-window figure on
+   the same code path — the 0.849 was host noise, as claimed then.
 """
 
 
