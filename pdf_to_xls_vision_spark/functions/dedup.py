@@ -107,7 +107,10 @@ def minhash_signatures(
     signature as a long relation ``(doc_id, seed, minhash)``. Unigram
     shingles keep the operator oracle-replayable; shingle width is a
     parameter of ``_tokens`` in production."""
-    tokens = _tokens(docs, id_col, text_col)
+    # distinct_in_doc: min() is set-invariant, so intra-doc duplicate
+    # tokens (measured 2.3x on the corpus) are dropped map-side BEFORE
+    # the md5 — same signatures, ~2x fewer hashes and aggregate rows
+    tokens = _tokens(docs, id_col, text_col, distinct_in_doc=True)
     # One md5 per token; the n_seeds hash families are affine
     # derivations (a_i*h+b_i mod P) folded into a single groupBy pass —
     # no seed explode, so the shuffle carries |docs| rows of n_seeds
@@ -784,8 +787,9 @@ def pairwise_set_similarity(
     but in practice tiny; per-pair intersections come from a map-only
     pair explode of those cells (a k-set signature emits k(k-1)/2
     rows, bounded by the SET count, never the item count); per-set
-    sizes come from a direct distinct count on the input so the
-    expensive signature aggregate sits on exactly one lineage path;
+    sizes come from the SAME signature cells (Σ cnt over cells
+    containing the set — one corpus pass total; the duplicated cells
+    reference collapses to one execution via exchange reuse);
     unions by inclusion-exclusion. Integer ppm Jaccard —
     bit-identical in the DuckDB replay. Pairs sharing no item are
     absent from the output (their Jaccard is 0). Duplicate
@@ -801,13 +805,6 @@ def pairwise_set_similarity(
         strategy = (
             "mask" if lo is None or (lo >= 0 and hi <= 62) else "array"
         )
-    # sizes come from a direct per-set distinct count on the INPUT —
-    # a scan-level subtree, so the expensive per-item signature
-    # aggregate sits on exactly one lineage path (the intersections')
-    # instead of being re-derived for each of the three consumers
-    sizes = items.groupBy(F.col(set_col).alias("set_id")).agg(
-        F.count_distinct(item_col).cast("long").alias("size")
-    )
     if strategy == "mask":
         sid = F.col(set_col).cast("int")
         checked = F.when((sid >= 0) & (sid < 63), sid).otherwise(
@@ -848,11 +845,27 @@ def pairwise_set_similarity(
             "transform(slice(ss, xi + 2, size(ss)), "
             "y -> struct(x AS i, y AS j))))"
         )
-        sizes = sizes.withColumn("set_id", F.col("set_id").cast("long"))
+        single_expr = "ss"
+    if strategy == "mask":
+        single_expr = bits
     inter = (
         cells.select(F.explode(F.expr(pair_expr)).alias("p"), "cnt")
         .groupBy(F.col("p.i").alias("set_a"), F.col("p.j").alias("set_b"))
         .agg(F.sum("cnt").cast("long").alias("inter_items"))
+    )
+    # per-set sizes from the SAME tiny signature-cells relation:
+    # |set b| = Σ cnt over cells whose signature contains b (cells
+    # counts DISTINCT items per signature, so this equals the distinct
+    # item count per set). Round 6: this replaces a second full pass
+    # over the input (per-set count_distinct shuffle) — the cells
+    # subtree is referenced twice but its exchanges are canonically
+    # identical, so Spark's exchange reuse executes it once.
+    sizes = (
+        cells.select(
+            F.explode(F.expr(single_expr)).alias("set_id"), "cnt"
+        )
+        .groupBy("set_id")
+        .agg(F.sum("cnt").cast("long").alias("size"))
     )
     sa = sizes.select(F.col("set_id").alias("set_a"), F.col("size").alias("sz_a"))
     sb = sizes.select(F.col("set_id").alias("set_b"), F.col("size").alias("sz_b"))
@@ -1037,30 +1050,27 @@ def containment_prefix_join(
     are probed only by docs made almost entirely of commoner tokens;
     the join stays bucketed by construction, never all-pairs.
 
-    Two lossless prunes on the candidate rows:
-
-    - size filter: ``n_b >= ceil(t·n_a)`` (the intersection can never
-      exceed ``n_b``);
-    - positional filter: a prefix token at A-rank ``ra`` bounds the
-      intersection by ``1 + n_a − ra``; the globally minimal shared
-      token of a qualifying pair sits at
-      ``rank <= n_a − ceil(t·n_a) + 1`` (inside the prefix) with
-      bound ``>= ceil(t·n_a)``, so its match row always survives.
+    One lossless prune on the candidate rows — the size filter
+    ``n_b >= ceil(t·n_a)`` (the intersection can never exceed
+    ``n_b``). A one-sided A-rank "positional filter" would be
+    algebraically identical to the prefix condition and prune nothing
+    (a true containment positional filter needs B-side ranks, which
+    would cost a second rank window over the full posting side), so
+    none is applied.
 
     The verify is exact: ``size(array_intersect(toks_a, toks_b))``
     after two doc-keyed joins, keep ``100·n_inter >= t·n_a``
     (integer-equivalent to ``n_inter >= ceil(t·n_a/100)``). The
-    DuckDB oracle replays ONLY the prefix+size candidates (no
-    positional filter) + the same verify, so a driver hash match is a
-    cross-engine proof the positional prune is lossless, on top of
-    the brute-force pytest.
+    DuckDB oracle replays the same prefix+size candidates + verify,
+    on top of the brute-force pytest.
 
     Returns ``(doc_a, doc_b, n_inter, n_a, n_b, containment_pct)``
     with ``containment_pct = 100·n_inter div n_a`` (integer-exact).
     Same shuffle budget as the Jaccard form: token df aggregate, df
     join on token, one per-doc rank window, prefix×posting join,
-    pair-scoped verify. ``persisted_sink`` persists the doc-set and
-    token relations (each feeds multiple branches).
+    pair-scoped verify. ``persisted_sink`` persists the doc-set
+    relation (it feeds the shingling AND both verify sides; the token
+    relation is re-derived map-side from it per reference).
     """
     if not 1 <= threshold_pct <= 100:
         raise ValueError("threshold_pct must be in [1, 100]")
@@ -1087,14 +1097,12 @@ def containment_prefix_join(
 
         doc_sets = doc_sets.persist(StorageLevel.MEMORY_AND_DISK)
         persisted_sink.append(doc_sets)
+    # toks is re-derived per reference from the persisted doc_sets —
+    # a map-only explode of cached arrays; persisting it too (round 5)
+    # only added a second, larger materialization pass
     toks = doc_sets.select(
         "doc_id", F.explode("toks").alias("token"), "n_tokens"
     )
-    if persisted_sink is not None:
-        from pyspark import StorageLevel
-
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted_sink.append(toks)
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     need = F.expr(f"({t} * n_tokens + 99) div 100")
@@ -1102,13 +1110,12 @@ def containment_prefix_join(
         toks.join(freq, "token")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= F.col("n_tokens") - need + F.lit(1))
-        .select("doc_id", "token", "n_tokens", "rk")
+        .select("doc_id", "token", "n_tokens")
     )
     pa = pref.select(
         F.col("doc_id").alias("doc_a"),
         "token",
         F.col("n_tokens").alias("n_a"),
-        F.col("rk").alias("rk_a"),
     )
     pb = toks.select(
         F.col("doc_id").alias("doc_b"),
@@ -1116,13 +1123,14 @@ def containment_prefix_join(
         F.col("n_tokens").alias("n_b"),
     )
     need_a = F.expr(f"({t} * n_a + 99) div 100")
+    # NOTE: a containment "positional filter" on the A-rank alone
+    # (1 + n_a - rk_a >= need_a) is algebraically the prefix condition
+    # itself (rk_a <= n_a - need_a + 1) and prunes nothing — it was
+    # dropped in round 6; candidates are identical
     cand = (
         pa.join(pb, "token")
         .where(
-            (F.col("doc_a") != F.col("doc_b"))
-            & (F.col("n_b") >= need_a)
-            # positional filter (lossless — see docstring)
-            & (F.lit(1) + F.col("n_a") - F.col("rk_a") >= need_a)
+            (F.col("doc_a") != F.col("doc_b")) & (F.col("n_b") >= need_a)
         )
         .select("doc_a", "doc_b")
         .distinct()

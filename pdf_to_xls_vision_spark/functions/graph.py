@@ -53,60 +53,83 @@ def pagerank_fixed(
     aggregate to the lineage), matching the unrolled-CTE oracle replay
     the same way the k-means oracles replay Lloyd rounds.
 
-    The edge+outdeg and node relations are referenced by EVERY
-    iteration; without materialization their derivation re-executes
-    per lineage path (AQE exchange reuse recovers only the identical-
-    exchange subtrees). At deployment scale do what GraphX does —
-    cache the per-iteration constants: pass ``persisted_sink`` (the
-    repo's leak-guard pattern, ``operators/pipeline.py``) and both
-    relations are persisted MEMORY_AND_DISK and appended for the
-    caller to unpersist after materializing. The registered query
-    takes this path (round 4's audit measured the recompute form at
-    104 exchanges / 28 scans); bench.py rebuilds per rep and
-    unpersists between reps, so nothing leaks across queries.
+    The degree-keyed edge relation and the node relation are
+    referenced by EVERY iteration; without materialization their
+    derivation re-executes per lineage path (AQE exchange reuse
+    recovers only the identical-exchange subtrees). At deployment
+    scale do what GraphX does — cache the per-iteration constants:
+    pass ``persisted_sink`` (the repo's leak-guard pattern,
+    ``operators/pipeline.py``) and both are persisted MEMORY_AND_DISK
+    and appended for the caller to unpersist after materializing. The
+    registered query takes this path (round 4's audit measured the
+    recompute form at 104 exchanges / 28 scans); bench.py rebuilds per
+    rep and unpersists between reps, so nothing leaks across queries.
+
+    Round 6: out-degree rides the one src-keyed window shuffle
+    instead of a separate aggregate + join, the edge input needs no
+    persist of its own (single reference), and iteration 1's
+    edges-ranks join is constant-folded (all ranks start equal) — two
+    fewer materializations and two fewer joins, bit-identical output.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if not 1 <= damping_pct <= 99:
         raise ValueError("damping_pct must be in [1, 99]")
-    if persisted_sink is not None:
-        from pyspark import StorageLevel
+    from pyspark.sql.window import Window
 
-        # the caller's edge derivation (often a window/distinct over a
-        # fact table) is referenced by nodes (2x), outdeg, and ed —
-        # persist it first so the whole prep reads one materialization
-        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted_sink.append(edges)
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionAll(edges.select(F.col(dst).alias("node")))
-        .distinct()
+    # out-degree attached via a window over the one src-keyed shuffle
+    # (no separate outdeg aggregate + join); the caller's edge
+    # derivation is referenced only here, so it needs no persist of
+    # its own — ed is the single materialization every iteration and
+    # the node derivation both probe
+    ed = edges.select(src, dst).withColumn(
+        "deg", F.count("*").over(Window.partitionBy(src)).cast("long")
     )
-    outdeg = edges.groupBy(src).agg(F.count("*").cast("long").alias("deg"))
-    ed = edges.select(src, dst).join(outdeg, src)
     if persisted_sink is not None:
         from pyspark import StorageLevel
 
         ed = ed.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(ed)
+    nodes = (
+        ed.select(F.col(src).alias("node"))
+        .unionAll(ed.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
+
         nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
-        persisted_sink.extend([ed, nodes])
+        persisted_sink.append(nodes)
     n_nodes = nodes.count()  # one scalar — driver metadata (fills the
     # nodes cache when persisted)
     if n_nodes == 0:
         raise ValueError("edge set is empty")
     base = (100 - damping_pct) * scale // (100 * n_nodes)
-    ranks = nodes.select(
-        "node", F.lit(scale // n_nodes).cast("long").alias("r")
-    )
-    for _ in range(iters):
-        inflow = (
-            ed.join(ranks, ed[src] == ranks["node"])
-            .select(
-                F.col(dst).alias("node"), F.expr("r div deg").alias("c")
+    r0 = scale // n_nodes
+    ranks = None
+    for it in range(iters):
+        if it == 0:
+            # round 1 folded: every node starts at the same constant
+            # rank r0, so the edges-ranks join is the identity — the
+            # contribution is r0 div deg straight off ed (one join
+            # fewer; bit-identical because every src is a node)
+            inflow = (
+                ed.select(
+                    F.col(dst).alias("node"),
+                    F.expr(f"cast({r0} as bigint) div deg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("s"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").cast("long").alias("s"))
-        )
+        else:
+            inflow = (
+                ed.join(ranks, ed[src] == ranks["node"])
+                .select(
+                    F.col(dst).alias("node"), F.expr("r div deg").alias("c")
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("s"))
+            )
         ranks = nodes.join(inflow, "node", "left").select(
             "node",
             (
@@ -340,8 +363,11 @@ def label_propagation(
     comparison — never a wide window sort). ``iters`` is a plan-unroll
     count exactly like :func:`pagerank_fixed`; pass ``persisted_sink``
     to materialize the symmetrized edge relation (referenced by every
-    round) and each round's label relation (referenced by the next
-    round AND the final output) once each.
+    round) and the FINAL label relation (referenced by callers more
+    than once) once each. Round 1's neighbor-label join is
+    constant-folded away (label(u) = u initially, so sym itself is the
+    vote relation) and intermediate rounds are single-consumer chains
+    that need no persist — round-6 change, bit-identical output.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -353,20 +379,30 @@ def label_propagation(
 
         sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
         persisted_sink.append(sym)
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(iters):
-        votes = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("u"), F.col("label").alias("nl")
-                ),
-                "u",
+    labels = None
+    for it in range(iters):
+        if it == 0:
+            # round 1 folded: label(u) = u initially, so the
+            # neighbor-label join is the identity — sym IS the vote
+            # relation (and the initial distinct-node label build is
+            # never needed; every node occurs in sym by construction)
+            votes = (
+                sym.groupBy(
+                    F.col("v").alias("node"), F.col("u").alias("label")
+                )
+                .agg(F.count("*").cast("long").alias("c"))
             )
-            .groupBy(F.col("v").alias("node"), F.col("nl").alias("label"))
-            .agg(F.count("*").cast("long").alias("c"))
-        )
+        else:
+            votes = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("u"), F.col("label").alias("nl")
+                    ),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("node"), F.col("nl").alias("label"))
+                .agg(F.count("*").cast("long").alias("c"))
+            )
         # top-1 per node: max over (count, -label) — tie prefers the
         # smaller label; struct comparison keeps it one hash aggregate
         # (max_by), never a per-node window sort.
@@ -375,11 +411,15 @@ def label_propagation(
                 "m"
             )
         ).select("node", (-F.col("m.neg")).cast("long").alias("label"))
-        if persisted_sink is not None:
-            from pyspark import StorageLevel
+    # only the FINAL label relation is multiply referenced by callers
+    # (community sizes + the output join); intermediates are each
+    # consumed exactly once by the next round, so persisting them only
+    # added cache-fill work (round-6 change — bit-identical output)
+    if persisted_sink is not None:
+        from pyspark import StorageLevel
 
-            labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
-            persisted_sink.append(labels)
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted_sink.append(labels)
     return labels.select("node", F.col("label").alias("community"))
 
 

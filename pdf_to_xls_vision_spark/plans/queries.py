@@ -60,6 +60,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _scan_splits(path: str) -> int:
+    """Approximate usable scan-split count for a parquet file/dir at
+    the default 128 MB split size (local paths only; anything
+    unreadable reports 'plenty' so the floor below becomes a no-op)."""
+    try:
+        if os.path.isdir(path):
+            n_bytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            n_bytes = os.path.getsize(path)
+    except OSError:
+        return 1 << 30
+    return max(1, n_bytes // (128 << 20))
+
+
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_t`` plus a scale-adaptive scan-parallelism floor (guide
+    §2.2/§6 — CPU-heavy per-row work must not inherit a byte-sized
+    split count): when the table's usable split count is below the
+    session's parallelism — the toy SFs are single-row-group files, so
+    every scan is effectively ONE task — round-robin the (tiny) input
+    once so the expensive map work (md5 shingling, HOF pair
+    expansion) uses every core. At production scale splits >> cores
+    and this returns the bare scan unchanged; the decision derives
+    from input size and ``defaultParallelism``, never a constant.
+
+    Only for queries whose arithmetic is row-order independent
+    (integer/string-exact, or integer-cast-before-sum): a keyless
+    repartition reorders rows, which must not perturb float
+    aggregation."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if _scan_splits(f"{sf_dir}/{name}.parquet") < par:
+        df = df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # S/R — classification & routing (pdf_detection.py, converter.py)
 # ---------------------------------------------------------------------------
@@ -491,7 +531,7 @@ FROM lineitem
 # ---------------------------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
-    return exact_duplicates(_t(spark, sf_dir, "documents"))
+    return exact_duplicates(_t_wide(spark, sf_dir, "documents"))
 
 
 SQL_EXACT_DEDUP = f"""
@@ -503,7 +543,7 @@ FROM documents GROUP BY 1
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    return minhash_signatures(_t_wide(spark, sf_dir, "documents"))
 
 
 def _minhash_mins_sql() -> str:
@@ -556,7 +596,7 @@ def q_lsh_pairs_capped(spark, sf_dir):
     buckets (k docs -> k^2/2 pairs, no dedup signal) are dropped
     before the self-join — the skew guard that keeps LSH linear-ish
     at corpus scale."""
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(_t_wide(spark, sf_dir, "documents"))
     return lsh_candidate_pairs(sigs, band_rows=4, max_bucket_size=LSH_BUCKET_CAP)
 
 
@@ -589,7 +629,7 @@ def q_dedup_clusters(spark, sf_dir):
     singletons map to themselves)."""
     from pdf_to_xls_vision_spark.functions.cluster import dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sigs, band_rows=4, max_bucket_size=LSH_BUCKET_CAP)
     return dedup_clusters(docs, pairs)
@@ -638,7 +678,7 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 
 
 def q_simhash(spark, sf_dir):
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_t_wide(spark, sf_dir, "documents"))
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -667,7 +707,7 @@ SQL_SIMHASH = _simhash_sql()
 def q_jaccard_neighbors(spark, sf_dir):
     """Exact unigram Jaccard for the consecutive-id candidate pairs (in
     production the LSH candidates feed this)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     ids = docs.select("doc_id")
     pairs = (
         ids.alias("a")
@@ -683,7 +723,7 @@ def q_jaccard_neighbors(spark, sf_dir):
 def q_jaccard_bigram(spark, sf_dir):
     """n-gram (bigram) Jaccard on the same consecutive-id candidate
     pairs — the shingled variant of dedup_jaccard_neighbors."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     ids = docs.select("doc_id")
     pairs = (
         ids.alias("a")
@@ -1663,7 +1703,7 @@ FROM pairs WHERE cos_raw >= {NEAR_DUP_THRESHOLD}
 # ---------------------------------------------------------------------------
 
 def q_token_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count_expr("text")).alias("total_tokens"),
@@ -1705,7 +1745,7 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     scores = lang_scores("text")
     return docs.select(
         "doc_id",
@@ -1840,7 +1880,7 @@ FROM ranked WHERE cum_tokens <= {budget}
 
 
 def q_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score_expr("text").alias("quality"))
 
 
@@ -1900,7 +1940,7 @@ def q_rare_word_stats(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.text import rare_word_stats
 
     return rare_word_stats(
-        _t(spark, sf_dir, "documents"),
+        _t_wide(spark, sf_dir, "documents"),
         min_cf=_RARE_MIN_CF,
         max_oov_ratio=_RARE_MAX_OOV,
     )
@@ -1911,7 +1951,7 @@ def q_distinctive_terms(spark, sf_dir):
     tf-idf's ranking intent under a deterministic integer order."""
     from pdf_to_xls_vision_spark.functions.text import distinctive_terms
 
-    return distinctive_terms(_t(spark, sf_dir, "documents"), k=_DISTINCTIVE_K)
+    return distinctive_terms(_t_wide(spark, sf_dir, "documents"), k=_DISTINCTIVE_K)
 
 
 _SQL_WORD_COUNTS = """
@@ -1973,7 +2013,7 @@ def q_text_repetition(spark, sf_dir):
     shuffle keyed by (doc_id, gram); skew bounded by the largest doc."""
     from pdf_to_xls_vision_spark.functions.text import ngram_repetition
 
-    return ngram_repetition(_t(spark, sf_dir, "documents"))
+    return ngram_repetition(_t_wide(spark, sf_dir, "documents"))
 
 
 def _sql_text_repetition() -> str:
@@ -2114,7 +2154,7 @@ def q_dedup_chunks(spark, sf_dir):
     (reassembly) — the web-scale paragraph-dedup shape."""
     from pdf_to_xls_vision_spark.functions.dedup import dedup_chunks
 
-    return dedup_chunks(_t(spark, sf_dir, "documents"))
+    return dedup_chunks(_t_wide(spark, sf_dir, "documents"))
 
 
 def _sql_dedup_chunks() -> str:
@@ -2163,7 +2203,7 @@ def q_ngram_spans(spark, sf_dir):
     interval merge is a per-doc window (functions/dedup.py)."""
     from pdf_to_xls_vision_spark.functions.dedup import duplicate_ngram_spans
 
-    return duplicate_ngram_spans(_t(spark, sf_dir, "documents"), n=_NGSPAN_N)
+    return duplicate_ngram_spans(_t_wide(spark, sf_dir, "documents"), n=_NGSPAN_N)
 
 
 def _sql_ngram_spans() -> str:
@@ -2967,7 +3007,7 @@ def q_countmin_words(spark, sf_dir):
         countmin_table,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
             F.filter(F.split("text", " "), lambda t: t != "")
@@ -3119,7 +3159,7 @@ def q_dedup_normalized(spark, sf_dir):
         normalized_exact_duplicates,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
     variants = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.upper("text").alias("text"),
@@ -3206,7 +3246,7 @@ def q_jaccard_prefix_join(spark, sf_dir):
         jaccard_prefix_join,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sink: list = []
     out = jaccard_prefix_join(
         docs, threshold_pct=80, shingle=3, persisted_sink=sink
@@ -3346,15 +3386,25 @@ def q_pagerank_parts(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.graph import pagerank_fixed
 
     li = _t(spark, sf_dir, "lineitem")
-    tup = li.select("l_orderkey", "l_linenumber", "l_partkey").distinct()
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    seq = tup.select(
-        F.col("l_partkey").alias("src"),
-        F.lead("l_partkey").over(w).alias("dst"),
+    # per-order sorted distinct (linenumber, partkey) basket + map-side
+    # HOF chaining: ONE aggregate shuffle replaces the round-5 distinct
+    # exchange + lead window (same deterministic (ln, pk) order — the
+    # sorted set IS the window order, adjacent elements ARE the lead
+    # pairs; same <=13-items/order bound as the triangle build)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_set(F.struct("l_linenumber", "l_partkey"))
+        ).alias("ps")
     )
-    edges = seq.where(
-        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
-    ).distinct()
+    seq = baskets.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ps, 1, size(ps) - 1), (s, i) -> "
+                "struct(s.l_partkey AS src, ps[i + 1].l_partkey AS dst))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = seq.where(F.col("dst") != F.col("src")).distinct()
     sink: list = []
     out = pagerank_fixed(edges, iters=3, persisted_sink=sink).select(
         F.col("node").alias("part_id"), "pr_scaled"
@@ -3440,7 +3490,7 @@ def q_kmv_intersection(spark, sf_dir):
         kmv_sketch,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     words = F.split("text", " ")
     toks_arr = F.when(
         F.size(words) >= 3,
@@ -3633,7 +3683,7 @@ def q_decontaminate(spark, sf_dir):
     count), the shape that holds at 10^12 docs."""
     from pdf_to_xls_vision_spark.functions.curation import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
     train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
     return decontaminate(train, bench, n=_DECON_N)
@@ -4202,7 +4252,7 @@ def q_index_postings(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.index import posting_table
 
     return posting_table(
-        _t(spark, sf_dir, "documents"),
+        _t_wide(spark, sf_dir, "documents"),
         min_df=_POSTING_MIN_DF,
         max_df=_POSTING_MAX_DF,
     )
@@ -4246,7 +4296,7 @@ def q_index_search(spark, sf_dir):
         search_topk,
     )
 
-    postings = posting_table(_t(spark, sf_dir, "documents"), min_df=1)
+    postings = posting_table(_t_wide(spark, sf_dir, "documents"), min_df=1)
     return search_topk(postings, _SEARCH_TERMS, k=_SEARCH_K)
 
 
@@ -4284,7 +4334,7 @@ def q_quality_classifier(spark, sf_dir):
     learned vector so the oracle replays scoring bit-for-bit."""
     from pdf_to_xls_vision_spark.functions.scoring import score_documents
 
-    return score_documents(_t(spark, sf_dir, "documents"))
+    return score_documents(_t_wide(spark, sf_dir, "documents"))
 
 
 def _sql_quality_classifier() -> str:
@@ -4429,7 +4479,7 @@ def q_lm_score(spark, sf_dir):
     bigram_lm_scores)."""
     from pdf_to_xls_vision_spark.functions.scoring import bigram_lm_scores
 
-    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+    return bigram_lm_scores(_t_wide(spark, sf_dir, "documents"))
 
 
 def _sql_lm_score() -> str:
@@ -4821,7 +4871,7 @@ def q_corpus_lines(spark, sf_dir):
     beyond broadcast)."""
     from pdf_to_xls_vision_spark.functions.dedup import corpus_line_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return corpus_line_dedup(docs, line_words=5, min_total=3, min_docs=2)
 
 
@@ -4985,7 +5035,12 @@ def q_bloom_prefilter_join(spark, sf_dir):
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_orderkey").alias("l_orderkey")
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    # _t_wide: the probe is CPU-bound md5 work on a fact side whose
+    # toy-SF scan is a single usable split; the quantity sum is cast
+    # to long per row before aggregation, so reordering is safe
+    li = _t_wide(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
     joined = bloom_prefilter_join(li, urgent, "l_orderkey")
     return joined.groupBy(
         F.col("l_orderkey").alias("o_orderkey")
@@ -5243,7 +5298,7 @@ def q_hll_by_lang(spark, sf_dir):
         hll_registers_grouped,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     regs = hll_registers_grouped(docs, "lang", F.col("text"), p=6)
     merged = (
         regs.groupBy("bucket")
@@ -5447,7 +5502,7 @@ def q_source_overlap(spark, sf_dir):
         pairwise_set_similarity,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     words = F.split("text", " ")
     toks = F.when(
         F.size(words) >= 3,
@@ -5558,7 +5613,7 @@ def q_simhash_near_dups(spark, sf_dir):
 
     sink: list = []
     out = simhash_near_dups(
-        _t(spark, sf_dir, "documents"),
+        _t_wide(spark, sf_dir, "documents"),
         bits=48,
         max_hamming=3,
         bands=6,
@@ -5900,7 +5955,7 @@ def q_pmi_bigrams(spark, sf_dir):
 
     sink: list = []
     out = pmi_bigrams(
-        _t(spark, sf_dir, "documents"), min_count=3, k=50,
+        _t_wide(spark, sf_dir, "documents"), min_count=3, k=50,
         persisted_sink=sink,
     )
     out._ptxv_persisted = sink
@@ -5939,16 +5994,18 @@ def q_minhash_estimate(spark, sf_dir):
     """MinHash Jaccard ESTIMATE next to the exact value, per capped-LSH
     candidate pair — the estimator-quality view a dedup deployment
     tunes its seed count with (agreeing signature components / seeds,
-    in exact ppm). Signature join is pair-scoped; the exact side reuses
-    jaccard_pairs' pair-scoped semi-structured joins. The signature
-    relation (3 references: band build + both pair sides) and the
-    candidate pairs (3 references: estimate + exact intersect + final)
-    are persisted — without it the MinHash aggregate replays per
-    reference (round-4 lesson from the jaccard-prefix plan); handles
-    ride as ``_ptxv_persisted``."""
+    in exact ppm). Signature join is pair-scoped; the exact side is
+    ``size(array_intersect)`` over doc-keyed joins of the candidate
+    pairs against map-built per-doc token sets (round 6 — replaces
+    the exploded token-row join + count aggregate). The signature
+    relation (3 references: band build + both pair sides), the
+    candidate pairs (3 references: estimate + exact + final), and the
+    doc-set relation (both verify sides) are persisted — without it
+    the MinHash aggregate replays per reference (round-4 lesson from
+    the jaccard-prefix plan); handles ride as ``_ptxv_persisted``."""
     from pyspark import StorageLevel
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sink: list = []
     sigs = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     sink.append(sigs)
@@ -5956,12 +6013,22 @@ def q_minhash_estimate(spark, sf_dir):
         sigs, band_rows=4, max_bucket_size=LSH_BUCKET_CAP
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sink.append(pairs)
-    from pdf_to_xls_vision_spark.functions.dedup import _tokens
-
-    toks = _tokens(docs, "doc_id", "text", distinct_in_doc=True).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # per-doc token SETS as map-built arrays (round 6): the exact side
+    # is size(array_intersect) over two doc-keyed joins of the
+    # candidate pairs — pair-scoped array merges instead of the
+    # exploded token-row join + count aggregate (the round-5
+    # jaccard-prefix lesson applied here)
+    doc_sets = (
+        docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sink.append(toks)
+    sink.append(doc_sets)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("ma")
     )
@@ -5978,7 +6045,37 @@ def q_minhash_estimate(spark, sf_dir):
             .alias("n_agree")
         )
     )
-    exact = jaccard_pairs(docs, pairs, tokens=toks)
+    sa2 = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_tokens").alias("n_a"),
+    )
+    sb2 = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_tokens").alias("n_b"),
+    )
+    exact = (
+        pairs.join(sa2, "doc_a")
+        .join(sb2, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            .cast("long")
+            .alias("n_inter"),
+            (F.col("n_a") + F.col("n_b")).alias("n_ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (F.col("n_ab") - F.col("n_inter")).cast("long").alias("n_union"),
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6)
+        )
+    )
     from pdf_to_xls_vision_spark.functions.dedup import MINHASH_SEEDS
 
     out = exact.join(est, ["doc_a", "doc_b"]).select(
@@ -6106,7 +6203,7 @@ def q_dsir_select(spark, sf_dir):
     safe by construction, TakeOrderedAndProject selection."""
     from pdf_to_xls_vision_spark.functions.curation import dsir_select
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sink: list = []
     out = dsir_select(
         docs,
@@ -6169,14 +6266,25 @@ def q_graph_label_propagation(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
-    tup = li.select("l_orderkey", "l_partkey").distinct()
+    # per-order basket array + map-side HOF pair expansion (the
+    # round-5 triangle-build shape): ONE aggregate shuffle replaces
+    # the tup-distinct exchange + within-order shuffle self-join; the
+    # sorted set gives src < dst for free and each order contributes
+    # each pair once, so the support counts are identical
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = (
-        tup.join(
-            tup.select("l_orderkey", F.col("l_partkey").alias("p2")),
-            "l_orderkey",
-        )
-        .where(F.col("l_partkey") < F.col("p2"))
-        .groupBy(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        pairs.groupBy("src", "dst")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= 3)
         .select("src", "dst")
@@ -6275,7 +6383,7 @@ def q_quality_ensemble(spark, sf_dir):
     no global rank window at any corpus size."""
     from pdf_to_xls_vision_spark.functions.scoring import quality_ensemble
 
-    return quality_ensemble(_t(spark, sf_dir, "documents"), n_bins=8)
+    return quality_ensemble(_t_wide(spark, sf_dir, "documents"), n_bins=8)
 
 
 def _sql_quality_ensemble(n_bins: int = 8) -> str:
@@ -6382,16 +6490,15 @@ def q_containment_join(spark, sf_dir):
     doc_a's shingle set is >=90% inside doc_b (quote / subset-page /
     boilerplate-wrapper detection; the asymmetric complement to
     dedup_jaccard_prefix_join). A-prefix tokens probe the full
-    posting list, size + positional prunes are lossless, verify is an
-    exact array_intersect. The oracle replays candidates WITHOUT the
-    positional filter, so the hash match doubles as a cross-engine
-    losslessness proof. Doc-set and token relations persisted; handles
-    ride as ``_ptxv_persisted``."""
+    posting list, the size prune is lossless, verify is an exact
+    array_intersect; the oracle replays the same candidates + verify.
+    Doc-set relation persisted; handles ride as
+    ``_ptxv_persisted``."""
     from pdf_to_xls_vision_spark.functions.dedup import (
         containment_prefix_join,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     sink: list = []
     out = containment_prefix_join(
         docs, threshold_pct=90, shingle=3, persisted_sink=sink
@@ -6776,7 +6883,7 @@ def q_negative_samples(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.curation import negative_samples
 
     return negative_samples(
-        _t(spark, sf_dir, "documents"), k=5, n_buckets=64
+        _t_wide(spark, sf_dir, "documents"), k=5, n_buckets=64
     )
 
 

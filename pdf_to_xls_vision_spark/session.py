@@ -60,6 +60,17 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS)
         )
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Always use the sort-based (single-spill-file) shuffle writer.
+        # With shuffle partitions <= 200 Spark silently switches to the
+        # bypass-merge writer, which opens R partition files PER MAP
+        # TASK (32x32 files per shuffle at local[32]) — a code path a
+        # production job with thousands of reduce partitions never
+        # takes, and one this host's filesystem punishes: bisected at
+        # ~150-300 ms of executor time per task, 3-6x the whole
+        # aggregate stage (see OPTIMIZATION_r06.md "shuffle writer").
+        # Forcing the sort writer aligns local runs with the at-scale
+        # path and removes the per-task file-fanout tax.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config(
             "spark.driver.memory",

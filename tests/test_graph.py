@@ -87,8 +87,8 @@ def test_pagerank_persisted_sink_same_results(spark):
         for row in pagerank_fixed(df, persisted_sink=sink).collect()
     }
     assert got == _model(DIAMOND)
-    # edges + nodes + outdeg-joined edge relation are each persisted
-    assert len(sink) == 3 and all(d.is_cached for d in sink)
+    # degree-keyed edge relation + nodes are each persisted
+    assert len(sink) == 2 and all(d.is_cached for d in sink)
     for d in sink:
         d.unpersist()
 

@@ -147,7 +147,7 @@ def test_label_propagation_persisted_sink(spark):
     out = label_propagation(df, iters=2, persisted_sink=sink)
     n = out.count()
     assert n == 8
-    assert len(sink) == 3  # sym edges + one label relation per round
+    assert len(sink) == 2  # sym edges + the final label relation
     for h in sink:
         h.unpersist()
 
