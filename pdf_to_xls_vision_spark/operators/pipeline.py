@@ -327,7 +327,7 @@ def run_extraction(
     page_partitions: int | None = None,
     persist_pages: bool = False,
     persisted_sink: list | None = None,
-    merge_strategy: str = "apply_in_pandas",
+    merge_strategy: str = "map_batches",
     retry_strategy: str = "reaggregate",
 ) -> DataFrame:
     """The full extraction pipeline; returns the result relation
@@ -436,15 +436,18 @@ def run_extraction(
         if persisted_sink is not None:
             persisted_sink.append(text_ext)
 
-    # Per-doc reduce. Two equivalent strategies, A/B-measured equal on
-    # this corpus (interleaved runs, quiet-host minimum ~12s wall for
-    # 8000 docs either way — Spark 4's applyInPandas already streams
-    # multiple groups per Arrow batch, so per-group overhead is small):
-    # - apply_in_pandas (default): groupBy().applyInPandas with the
-    #   array-based per-group kernel.
-    # - map_batches: explicit hash repartition + in-partition sort +
-    #   mapInPandas with cross-batch group stitching. Same shuffle;
-    #   useful where group counts per partition are extreme.
+    # Per-doc reduce. Two equivalent strategies (identical kernels and
+    # output; A/B re-measured round 6 after the shuffle-writer fix):
+    # - map_batches (default since round 6): explicit hash repartition
+    #   to n_parts + in-partition sort + mapInPandas with cross-batch
+    #   group stitching. The explicit partition count keeps the
+    #   Python-bound merge at full parallelism — AQE's byte-based
+    #   coalescing shrank the applyInPandas exchange to 23 partitions
+    #   on the 8000-doc corpus (33 MB looks tiny to AQE, but the
+    #   stage cost is Python compute, not bytes). Interleaved min-of-
+    #   reps: 8.1-7.2s vs 9.6-10.0s wall.
+    # - apply_in_pandas: groupBy().applyInPandas with the same
+    #   array-based per-group kernel; subject to AQE coalescing.
     def _apply_merge(
         ext: DataFrame,
         pre_partitioned: bool = False,

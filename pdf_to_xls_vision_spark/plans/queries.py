@@ -531,7 +531,7 @@ FROM lineitem
 # ---------------------------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
-    return exact_duplicates(_t_wide(spark, sf_dir, "documents"))
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
 SQL_EXACT_DEDUP = f"""
@@ -837,7 +837,7 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 def q_ann_ivf(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return topk_ivf(emb, probes, k=TOP_K)
 
@@ -961,7 +961,7 @@ def q_kmeans_cells(spark, sf_dir):
         kmeans_train,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     centroids = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
     return assign_cells(emb, centroids).select("vec_id", "cell")
 
@@ -980,7 +980,7 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     scale path (topk_ivf consumes a pre-existing label; this trains)."""
     from pdf_to_xls_vision_spark.functions.ann import topk_ivf_kmeans
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return topk_ivf_kmeans(emb, probes, k=TOP_K)
 
@@ -1024,7 +1024,7 @@ def q_embedding_near_dups_kmeans(spark, sf_dir):
         kmeans_train,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     centroids = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
     tagged = assign_cells(emb, centroids)
     return embedding_near_dups(
@@ -1193,7 +1193,7 @@ def q_kmeans_cells_balanced(spark, sf_dir):
         kmeans_train_balanced,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     centroids = kmeans_train_balanced(
         emb, k=KMEANS_K, iterations=KMEANS_ITERS,
         balance_factor=BAL_FACTOR, max_splits=BAL_SPLITS,
@@ -1221,7 +1221,7 @@ def q_ann_ivf_balanced(spark, sf_dir):
         topk_ivf_kmeans,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     centroids = kmeans_train_balanced(
         emb, k=KMEANS_K, iterations=KMEANS_ITERS,
@@ -1266,7 +1266,7 @@ def q_ann_ivf_probe_aware(spark, sf_dir):
     oracle), cheaper in scanned cells."""
     from pdf_to_xls_vision_spark.functions.ann import topk_ivf_probe_aware
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return topk_ivf_probe_aware(
         emb, probes, k=TOP_K, nprobe_max=PROBE_AWARE_NPROBE
@@ -1323,7 +1323,7 @@ def q_embedding_lsh(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.ann import cosine_lsh_pairs
 
     return cosine_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        _t_wide(spark, sf_dir, "embeddings"),
         dim=EMB_DIM,
         threshold=NEAR_DUP_THRESHOLD,
     )
@@ -1469,7 +1469,7 @@ def q_pq_codes(spark, sf_dir):
         pq_train,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     books = pq_train(
         emb, m=PQ_M, k_codes=PQ_CODES, iterations=PQ_ITERS, dim=EMB_DIM
     )
@@ -1502,7 +1502,7 @@ def q_ann_ivf_pq(spark, sf_dir):
     every step integer-exact (functions/pq.py)."""
     from pdf_to_xls_vision_spark.functions.pq import topk_ivf_pq
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return topk_ivf_pq(emb, probes, k=TOP_K)
 
@@ -1580,7 +1580,7 @@ def q_pq_codes_residual(spark, sf_dir):
         pq_train_residual,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     coarse = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
     books = pq_train_residual(
         emb, coarse, m=PQ_M, k_codes=PQ_CODES, iterations=PQ_ITERS,
@@ -1614,7 +1614,7 @@ def q_ann_ivf_pq_residual(spark, sf_dir):
     4 B/vector budget as ann_topk_ivf_pq with tighter reconstruction."""
     from pdf_to_xls_vision_spark.functions.pq import topk_ivf_pq_residual
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < N_PROBES)
     return topk_ivf_pq_residual(emb, probes, k=TOP_K)
 
@@ -1672,7 +1672,7 @@ FROM ranked WHERE rank <= {TOP_K}
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs within IVF cells (dedup family)."""
     return embedding_near_dups(
-        _t(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD
+        _t_wide(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_THRESHOLD
     )
 
 
@@ -1727,7 +1727,7 @@ FROM t GROUP BY lang
 def q_bpe_token_stats(spark, sf_dir):
     """BPE-ish token counting (regex pretokenizer) next to whitespace
     counts — the length signal a tokenizer-budgeted pipeline filters on."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count_expr("text").alias("ws_tokens"),
@@ -1912,7 +1912,7 @@ FROM m
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", content_fingerprint_expr("text").alias("fingerprint")
     )
@@ -3385,7 +3385,7 @@ def q_pagerank_parts(spark, sf_dir):
     ``_ptxv_persisted``; bench.py rebuilds per rep and unpersists."""
     from pdf_to_xls_vision_spark.functions.graph import pagerank_fixed
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     # per-order sorted distinct (linenumber, partkey) basket + map-side
     # HOF chaining: ONE aggregate shuffle replaces the round-5 distinct
     # exchange + lead window (same deterministic (ln, pk) order — the
@@ -3913,7 +3913,7 @@ def q_media_frame_sample(spark, sf_dir):
 def q_winnow_fingerprints(spark, sf_dir):
     from pdf_to_xls_vision_spark.functions.text import winnow_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs)
     return fps.select("doc_id", F.explode("fingerprints").alias("fingerprint"))
 
@@ -3927,7 +3927,7 @@ def q_bpe_token_ids(spark, sf_dir):
         learn_tokenizer,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     merges, vocab = learn_tokenizer(docs)
     return bpe_token_ids(docs, merges, vocab)
 
@@ -3941,7 +3941,7 @@ def q_bpe_merge_tokens(spark, sf_dir):
         learn_merges,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     merges = learn_merges(docs)
     return bpe_token_counts(docs, merges)
 
@@ -4919,7 +4919,7 @@ def q_triangle_parts(spark, sf_dir):
     per rep and unpersists between reps."""
     from pdf_to_xls_vision_spark.functions.graph import triangle_counts
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     # per-order basket array + map-side HOF pair expansion: ONE
     # aggregate shuffle replaces the within-order shuffle self-join
     # (same <=13-items/order fan-out bound, sorted array gives
@@ -5069,7 +5069,7 @@ def q_embedding_outliers(spark, sf_dir):
     two-phase salted top-k."""
     from pdf_to_xls_vision_spark.functions.ann import embedding_outliers
 
-    embs = _t(spark, sf_dir, "embeddings")
+    embs = _t_wide(spark, sf_dir, "embeddings")
     return embedding_outliers(embs, k=5, dim=64)
 
 
@@ -5647,7 +5647,7 @@ def q_semdedup_prune(spark, sf_dir):
         semdedup_prune,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     centroids = kmeans_train(emb, k=KMEANS_K, iterations=KMEANS_ITERS)
     tagged = assign_cells(emb, centroids)
     return semdedup_prune(
@@ -5903,7 +5903,7 @@ def q_dataset_card(spark, sf_dir):
     division), so the card is cross-engine exact. Plan: one pass of
     map-side exprs + a single hash aggregate per source; the distinct
     counts are two-phase."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     enriched = docs.select(
         "source",
         "lang",
@@ -6265,7 +6265,7 @@ def q_graph_label_propagation(spark, sf_dir):
     ``_ptxv_persisted``). Output: (part_id, community, comm_size)."""
     from pdf_to_xls_vision_spark.functions.graph import label_propagation
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     # per-order basket array + map-side HOF pair expansion (the
     # round-5 triangle-build shape): ONE aggregate shuffle replaces
     # the tup-distinct exchange + within-order shuffle self-join; the
@@ -6448,7 +6448,7 @@ def q_graph_kcore(spark, sf_dir):
     so no persisted handles ride on the result."""
     from pdf_to_xls_vision_spark.functions.graph import kcore_membership
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t_wide(spark, sf_dir, "lineitem")
     tup = li.select("l_orderkey", "l_partkey").distinct()
     edges = (
         tup.join(

@@ -71,6 +71,15 @@ def get_spark(
         # Forcing the sort writer aligns local runs with the at-scale
         # path and removes the per-task file-fanout tax.
         .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        # AQE partition coalescing keeps parallelism-first semantics
+        # (target = total/parallelism), but its 1 MB minPartitionSize
+        # floor serializes CPU-heavy reduces over byte-small data
+        # (e.g. a hash aggregate of 10^6 60-bit keys compresses to
+        # ~1 MB and was coalesced to ONE task). At scale
+        # total/parallelism >> 64k so this floor never binds; locally
+        # it restores reduce-side parallelism for compute-bound
+        # aggregates.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config(
             "spark.driver.memory",
