@@ -106,7 +106,7 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_route_classifier(spark, sf_dir):
     """S3/R1: text-probe routing (>50 stripped chars -> text path)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.when(F.length(F.trim("text")) > 50, F.lit("text"))
@@ -124,7 +124,7 @@ FROM documents
 
 def q_probe_first3(spark, sf_dir):
     """S3's LIMIT-3 probe: per source, classify from the first 3 docs only."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     probed = docs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
     return probed.groupBy("source").agg(
@@ -254,7 +254,7 @@ FROM events GROUP BY user_id
 
 def q_garbled_share(spark, sf_dir):
     """Q6's special-char-run detector as a per-language share."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(
@@ -307,7 +307,7 @@ WITH toks AS ({_SQL_TOKENS})
 
 def q_multiset_counts(spark, sf_dir):
     """X4: the number multiset as a hash aggregate (float-folded key)."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    ev = _t_wide(spark, sf_dir, "events").filter(F.col("props").isNotNull())
     counts = multiset_counts(ev, "props")
     return counts.select(
         F.col("number_key").try_cast("double").alias("number_key"),
