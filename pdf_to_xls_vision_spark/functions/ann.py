@@ -337,7 +337,18 @@ def kmeans_train(
         raise ValueError(f"unknown init {init!r}")
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
-    ).persist()
+    )
+    # Scale-adaptive parallelism floor for the training relation: the
+    # per-row distance arithmetic (k cells x d dims of interpreted
+    # higher-order-function lambdas) is CPU-heavy, and a single-split
+    # source (toy-SF single-row-group parquet) would run every Lloyd
+    # assignment pass on one core. All math is integer — a round-robin
+    # reorder cannot change any aggregate. No-op when the source
+    # already has >= defaultParallelism partitions.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < par:
+        vecs = vecs.repartition(par)
+    vecs = vecs.persist()
     try:
         seed = (
             _maximin_init(vecs, k)
@@ -387,7 +398,13 @@ def kmeans_train_balanced(
         raise ValueError("kmeans_train_balanced requires k >= 2")
     vecs = embeddings.select(
         F.col(id_col).alias("vid"), _qvec(F.col(vec_col)).alias("qv")
-    ).persist()
+    )
+    # same scale-adaptive parallelism floor as kmeans_train (integer
+    # math — order-safe; no-op at real split counts)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < par:
+        vecs = vecs.repartition(par)
+    vecs = vecs.persist()
     try:
         centroids = _lloyd(vecs, _maximin_init(vecs, k), iterations)
         n_total = vecs.count()
