@@ -6691,7 +6691,22 @@ def q_streaming_heavy_hitters(spark, sf_dir):
         F.timestamp_seconds(F.lit(1704067200 + 30 * 86400)).alias("ts"),
     )
     docs.repartition(4).write.mode("overwrite").parquet(in_dir)
+    before = {
+        f: os.path.getmtime(os.path.join(in_dir, f))
+        for f in os.listdir(in_dir)
+        if f.endswith(".parquet")
+    }
     adv.coalesce(1).write.mode("append").parquet(in_dir)
+    # pin STRICT mtime ordering: on a coarse-mtime filesystem the
+    # append can tie with the corpus files and the file source may
+    # batch the advancer first, pushing the watermark 30 days ahead
+    # and dropping every real token as late (the flake described
+    # above). An explicit utime makes the ordering unconditional.
+    latest_real = max(before.values())
+    for f in os.listdir(in_dir):
+        if f.endswith(".parquet") and f not in before:
+            p = os.path.join(in_dir, f)
+            os.utime(p, (latest_real + 2, latest_real + 2))
     stream = (
         spark.readStream.schema("text string, ts timestamp")
         .option("maxFilesPerTrigger", 1)

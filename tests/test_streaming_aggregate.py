@@ -268,9 +268,16 @@ def _sessionize_run_rows(spark, tmp_path, tag, batched):
             _write_events(f"{in_dir}/f{i}.parquet", rows)
             _run(spark, sessionize_stream(_stream(spark, in_dir)), out_dir, ckpt)
     else:
-        # all files visible at once, one file per micro-batch
+        # all files visible at once, one file per micro-batch. The
+        # file source orders files by MODIFICATION TIME; back-to-back
+        # writes can tie on a coarse-mtime filesystem and batch f2
+        # (later events) before f0, advancing the watermark so f0's
+        # events drop as late data — pin strictly increasing mtimes
+        # so the replay order is unconditional.
         for i, rows in enumerate(files):
-            _write_events(f"{in_dir}/f{i}.parquet", rows)
+            path = f"{in_dir}/f{i}.parquet"
+            _write_events(path, rows)
+            os.utime(path, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
         _run(
             spark,
             sessionize_stream(_stream(spark, in_dir, max_files=1)),
